@@ -1,0 +1,30 @@
+"""hrpe_tpu — TPU-native holistic robot pose estimation framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of
+Grz684/Holistic-Robot-Pose-Estimation-Study (ECCV 2024, "Real-time Holistic
+Robot Pose Estimation with Unknown States"): single-RGB-image estimation of
+robot joint angles, root-to-camera 6D pose, and 2D/3D keypoints for
+Panda / Kuka / Baxter / Dofbot arms, with synthetic-data training and
+self-supervised sim2real fine-tuning via a differentiable silhouette renderer.
+
+Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
+  config/      — typed config tree + YAML overlay (ref: lib/core/config.py)
+  utils/       — rotation/geometry/coordinate math   (ref: lib/utils/geometries.py, transforms.py)
+  kinematics/  — URDF parsing + batched FK as compiled XLA graphs
+                 (ref: lib/utils/urdfpytorch/, lib/utils/urdf_robot.py)
+  models/      — flax.linen HRNet/ResNet backbones, integral decode,
+                 RootNet, RootNetwithRegInt (ref: lib/models/)
+  ops/         — Pallas TPU kernels for hot paths
+  pnp/         — batched EPnP + Gauss-Newton with implicit-diff gradients
+                 (ref: lib/utils/BPnP.py, OpenCV solvePnP)
+  render/      — differentiable soft silhouette rasterizer
+                 (ref: lib/utils/mesh_renderer.py, pytorch3d)
+  data/        — DREAM dataset pipeline, both annotation dialects
+                 (ref: lib/dataset/)
+  engine/      — unified train/eval loops, losses, metrics, checkpoints
+                 (ref: scripts/train_*.py, lib/core/function.py)
+  parallel/    — jax.sharding mesh + data-parallel step sharding
+                 (ref: DDP/Accelerate usage in scripts/)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,156 @@
+"""ResNet trunks in flax.linen, NHWC, bf16-capable.
+
+Re-design of the reference's torch ResNet (lib/models/backbones/Resnet.py)
+for TPU: NHWC layout (XLA:TPU's native conv layout), parameter dtype f32
+with a configurable compute dtype (bfloat16 keeps the MXU fed), BatchNorm
+running statistics carried in a `batch_stats` collection (PyTorch
+momentum=0.1 == flax momentum=0.9).
+
+The trunk returns the final stride-32 feature map (B, H/32, W/32, C); heads
+live in full_net.py / depth_net.py, exactly like the reference
+(`ResNet.forward` returns layer4 output, Resnet.py:57-68).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+RESNET_SPECS = {
+    # name: (bottleneck?, blocks per stage, stage widths)
+    "resnet18": (False, (2, 2, 2, 2), (64, 128, 256, 512)),
+    "resnet34": (False, (3, 4, 6, 3), (64, 128, 256, 512)),
+    "resnet50": (True, (3, 4, 6, 3), (64, 128, 256, 512)),
+    "resnet101": (True, (3, 4, 23, 3), (64, 128, 256, 512)),
+    "resnet152": (True, (3, 8, 36, 3), (64, 128, 256, 512)),
+}
+
+
+def feature_channels(name: str) -> int:
+    bottleneck, _, widths = RESNET_SPECS[canonical(name)]
+    return widths[-1] * (4 if bottleneck else 1)
+
+
+def canonical(name: str) -> str:
+    return "resnet50" if name == "resnet" else name
+
+
+class BatchNorm(nn.Module):
+    """BN wrapper pinned to the reference's torch semantics."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+def conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(kernel // 2, kernel // 2)] * 2,
+        use_bias=False,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.planes, 3, 1, "conv2", self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        if self.downsample:
+            residual = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="down_conv",
+            )(x)
+            residual = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="down_bn",
+            )(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.planes, 3, self.stride, "conv2", self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(
+                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="down_conv",
+            )(x)
+            residual = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="down_bn",
+            )(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Stride-32 trunk; `__call__` returns the final NHWC feature map."""
+
+    name_spec: str = "resnet50"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bottleneck, blocks, widths = RESNET_SPECS[canonical(self.name_spec)]
+        block_cls = Bottleneck if bottleneck else BasicBlock
+        expansion = 4 if bottleneck else 1
+
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        in_ch = 64
+        for stage, (n_blocks, width) in enumerate(zip(blocks, widths)):
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                down = b == 0 and (stride != 1 or in_ch != width * expansion)
+                x = block_cls(
+                    width,
+                    stride if b == 0 else 1,
+                    down,
+                    self.dtype,
+                    name=f"layer{stage + 1}_{b}",
+                )(x, train)
+                in_ch = width * expansion
+        return x

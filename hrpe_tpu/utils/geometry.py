@@ -1,0 +1,291 @@
+"""Rotation / camera geometry math, pure JAX.
+
+Semantics match the reference implementation (cited per-function against
+/root/reference/lib/utils/geometries.py) so that checkpoints and training
+behavior are interchangeable, but everything here is batched, jit-safe and
+differentiable end-to-end (no data-dependent control flow, no host syncs).
+
+Conventions
+-----------
+* Quaternions are (w, x, y, z).
+* The 6D rotation representation (Zhou et al. CVPR'19) stores the first two
+  ROWS of the rotation matrix, flattened — matching the reference's
+  ``rotmat_to_rot6d`` (geometries.py:117-132) which drops the last row, and
+  ``rot6d_to_rotmat`` (geometries.py:100-115) which Gram-Schmidts rows.
+* Homogeneous transforms are 4x4 with translation in the last column.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_EPS = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# quaternions
+# ---------------------------------------------------------------------------
+
+def quat_to_rotmat(quat: Array) -> Array:
+    """Quaternion (..., 4) (w,x,y,z) -> rotation matrix (..., 3, 3).
+
+    Ref parity: geometries.py:21-41 (normalizes with +1e-9 in denominator).
+    """
+    q = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True) + 1e-9)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    w2, x2, y2, z2 = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    m = jnp.stack(
+        [
+            w2 + x2 - y2 - z2, 2 * xy - 2 * wz, 2 * wy + 2 * xz,
+            2 * wz + 2 * xy, w2 - x2 + y2 - z2, 2 * yz - 2 * wx,
+            2 * xz - 2 * wy, 2 * wx + 2 * yz, w2 - x2 - y2 + z2,
+        ],
+        axis=-1,
+    )
+    return m.reshape(*q.shape[:-1], 3, 3)
+
+
+def rotmat_to_quat(m: Array) -> Array:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4) (w,x,y,z).
+
+    Ref parity: geometries.py:63-74 (w-major branch with 1e-8 floor; the
+    reference uses only this branch, so we mirror it exactly).
+    """
+    tr = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    w = jnp.sqrt(jnp.maximum(1.0 + tr, 0.0)) / 2.0
+    w = jnp.maximum(w, _EPS)
+    w4 = 4.0 * w
+    x = (m[..., 2, 1] - m[..., 1, 2]) / w4
+    y = (m[..., 0, 2] - m[..., 2, 0]) / w4
+    z = (m[..., 1, 0] - m[..., 0, 1]) / w4
+    q = jnp.stack([w, x, y, z], axis=-1)
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+
+
+# ---------------------------------------------------------------------------
+# 6D / 9D rotation representations
+# ---------------------------------------------------------------------------
+
+def rot6d_to_rotmat(r6: Array) -> Array:
+    """6D rep (..., 6) -> rotation matrix (..., 3, 3), rows Gram-Schmidted.
+
+    Ref parity: geometries.py:100-115 (RotationContinuity convention:
+    x = normalize(a), z = normalize(x × b), y = z × x; rows of output).
+    """
+    a = r6[..., 0:3]
+    b = r6[..., 3:6]
+    x = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), _EPS)
+    z = jnp.cross(x, b)
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), _EPS)
+    y = jnp.cross(z, x)
+    # rows are x, y, z
+    return jnp.stack([x, y, z], axis=-2)
+
+
+def rotmat_to_rot6d(m: Array) -> Array:
+    """Rotation matrix (..., 3, 3) -> 6D rep = first two rows flattened.
+
+    Ref parity: geometries.py:117-132.
+    """
+    return m[..., :2, :].reshape(*m.shape[:-2], 6)
+
+
+def rot9d_to_rotmat(r9: Array) -> Array:
+    """9D rep (..., 9) -> closest SO(3) matrix via symmetric orthogonalization.
+
+    Ref parity: geometries.py:134-149 (SVD + det-sign fix).
+    """
+    m = r9.reshape(*r9.shape[:-1], 3, 3)
+    u, _, vt = jnp.linalg.svd(m, full_matrices=False)
+    det = jnp.linalg.det(u @ vt)
+    vt_fixed = jnp.concatenate(
+        [vt[..., :2, :], vt[..., 2:, :] * det[..., None, None]], axis=-2
+    )
+    r = u @ vt_fixed
+    # XLA's f32 SVD carries ~4e-3 orthogonality error; two Newton polar
+    # iterations (R <- 1.5 R - 0.5 R R^T R) polish it to ~1e-6.
+    for _ in range(2):
+        r = 1.5 * r - 0.5 * r @ jnp.swapaxes(r, -2, -1) @ r
+    return r
+
+
+# ---------------------------------------------------------------------------
+# axis-angle
+# ---------------------------------------------------------------------------
+
+def axis_angle_to_rotmat(aa: Array) -> Array:
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3).
+
+    Rodrigues formula with a first-order Taylor branch near zero, matching
+    the reference's ceres-derived implementation (geometries.py:164-235,
+    eps = 1e-6 on theta^2). jnp.where keeps it jit/grad safe.
+    """
+    theta2 = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-12))
+    # guarded normalized axis (ref divides by theta + 1e-6)
+    w = aa / (theta + 1e-6)
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    ct = jnp.cos(theta[..., 0])
+    st = jnp.sin(theta[..., 0])
+    one_ct = 1.0 - ct
+    r_full = jnp.stack(
+        [
+            ct + wx * wx * one_ct, wx * wy * one_ct - wz * st, wy * st + wx * wz * one_ct,
+            wz * st + wx * wy * one_ct, ct + wy * wy * one_ct, -wx * st + wy * wz * one_ct,
+            -wy * st + wx * wz * one_ct, wx * st + wy * wz * one_ct, ct + wz * wz * one_ct,
+        ],
+        axis=-1,
+    ).reshape(*aa.shape[:-1], 3, 3)
+    rx, ry, rz = aa[..., 0], aa[..., 1], aa[..., 2]
+    ones = jnp.ones_like(rx)
+    r_taylor = jnp.stack(
+        [ones, -rz, ry, rz, ones, -rx, -ry, rx, ones], axis=-1
+    ).reshape(*aa.shape[:-1], 3, 3)
+    use_full = (theta2[..., 0] > 1e-6)[..., None, None]
+    return jnp.where(use_full, r_full, r_taylor)
+
+
+def rotmat_to_axis_angle(m: Array) -> Array:
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3) (log map)."""
+    tr = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos)
+    v = jnp.stack(
+        [
+            m[..., 2, 1] - m[..., 1, 2],
+            m[..., 0, 2] - m[..., 2, 0],
+            m[..., 1, 0] - m[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin = jnp.sin(theta)
+    scale = jnp.where(sin > 1e-6, theta / jnp.maximum(2.0 * sin, 1e-12), 0.5)
+    return v * scale[..., None]
+
+
+# ---------------------------------------------------------------------------
+# distances / euler
+# ---------------------------------------------------------------------------
+
+def geodesic_distance(m1: Array, m2: Array) -> Array:
+    """Angle (radians, in [0, pi]) between rotation matrices.
+
+    Ref parity: geometries.py:154-162.
+    """
+    m = m1 @ jnp.swapaxes(m2, -2, -1)
+    cos = (m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2] - 1.0) / 2.0
+    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+
+
+def euler_from_rotmat(m: Array) -> Array:
+    """XYZ-sequence euler angles (..., 3) with singularity guard.
+
+    Ref parity: geometries.py:337-357.
+    """
+    sy = jnp.sqrt(m[..., 0, 0] ** 2 + m[..., 1, 0] ** 2)
+    singular = sy < 1e-6
+    x = jnp.arctan2(m[..., 2, 1], m[..., 2, 2])
+    y = jnp.arctan2(-m[..., 2, 0], sy)
+    z = jnp.arctan2(m[..., 1, 0], m[..., 0, 0])
+    xs = jnp.arctan2(-m[..., 1, 2], m[..., 1, 1])
+    zs = jnp.zeros_like(z)
+    return jnp.stack(
+        [jnp.where(singular, xs, x), y, jnp.where(singular, zs, z)], axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# homogeneous transforms
+# ---------------------------------------------------------------------------
+
+def make_T(R: Array, t: Array) -> Array:
+    """(..., 3, 3) + (..., 3) -> (..., 4, 4)."""
+    batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
+    R = jnp.broadcast_to(R, batch + (3, 3))
+    t = jnp.broadcast_to(t, batch + (3,))
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros(batch + (1, 4), dtype=R.dtype).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def invert_T(T: Array) -> Array:
+    """Invert rigid transform(s) (..., 4, 4). Ref parity: transforms.py:23-31."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    R_inv = jnp.swapaxes(R, -2, -1)
+    t_inv = -jnp.einsum("...ij,...j->...i", R_inv, t)
+    return make_T(R_inv, t_inv)
+
+
+def transform_points(T: Array, pts: Array) -> Array:
+    """Apply (..., 4, 4) to points (..., N, 3)."""
+    return jnp.einsum("...ij,...nj->...ni", T[..., :3, :3], pts) + T[..., None, :3, 3]
+
+
+# ---------------------------------------------------------------------------
+# camera intrinsics
+# ---------------------------------------------------------------------------
+
+def project_points(K: Array, pts3d: Array) -> Array:
+    """Pinhole projection: K (..., 3, 3), pts3d (..., N, 3) -> (..., N, 2).
+
+    Ref parity: transforms.py:11-21 (hnormalized of K @ X).
+    """
+    p = jnp.einsum("...ij,...nj->...ni", K, pts3d)
+    return p[..., :2] / p[..., 2:3]
+
+
+def inv_K_from_fc(fx: Array, fy: Array, cx: Array, cy: Array) -> Array:
+    """Closed-form inverse intrinsics (skew-free), batched over leading dims.
+
+    Ref parity: transforms.py:155-172 (`get_intrinsic_matrix_batch(inv=True)`).
+    """
+    zeros = jnp.zeros_like(fx)
+    ones = jnp.ones_like(fx)
+    row0 = jnp.stack([1.0 / fx, zeros, -cx / fx], axis=-1)
+    row1 = jnp.stack([zeros, 1.0 / fy, -cy / fy], axis=-1)
+    row2 = jnp.stack([zeros, zeros, ones], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def inv_K(K: Array) -> Array:
+    """Inverse of skew-free intrinsics (..., 3, 3) without a linear solve."""
+    return inv_K_from_fc(K[..., 0, 0], K[..., 1, 1], K[..., 0, 2], K[..., 1, 2])
+
+
+def get_K_crop_resize(K: Array, boxes: Array, crop_resize) -> Array:
+    """Update intrinsics for a crop (boxes (..., 4) = x1,y1,x2,y2) + resize.
+
+    Ref parity: geometries.py:360-402 — including its (w-1)/2 center
+    convention and final (width, height) = (max, min) of crop_resize.
+    Skew is not handled (same as reference).
+    """
+    final_w = float(max(crop_resize))
+    final_h = float(min(crop_resize))
+    crop_w = boxes[..., 2] - boxes[..., 0]
+    crop_h = boxes[..., 3] - boxes[..., 1]
+    crop_cj = (boxes[..., 0] + boxes[..., 2]) / 2
+    crop_ci = (boxes[..., 1] + boxes[..., 3]) / 2
+    # crop
+    cx = K[..., 0, 2] + (crop_w - 1) / 2 - crop_cj
+    cy = K[..., 1, 2] + (crop_h - 1) / 2 - crop_ci
+    # resize
+    center_x = (crop_w - 1) / 2
+    center_y = (crop_h - 1) / 2
+    scale_x = final_w / crop_w
+    scale_y = final_h / crop_h
+    fx = scale_x * K[..., 0, 0]
+    fy = scale_y * K[..., 1, 1]
+    new_cx = (final_w - 1) / 2 + scale_x * (cx - center_x)
+    new_cy = (final_h - 1) / 2 + scale_y * (cy - center_y)
+    new_K = K
+    new_K = new_K.at[..., 0, 0].set(fx)
+    new_K = new_K.at[..., 1, 1].set(fy)
+    new_K = new_K.at[..., 0, 2].set(new_cx)
+    new_K = new_K.at[..., 1, 2].set(new_cy)
+    return new_K
