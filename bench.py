@@ -1,0 +1,77 @@
+"""Benchmark: full-net inference images/sec/chip at batch 256 (bf16).
+
+Prints one JSON line. The metric mirrors the reference's FPS measurement
+(scripts/test.py:265-271 / full_net.py:277-457 cuda-sync timers): forward
+of the flagship RootNetwithRegInt (hrnet32 rootnet + resnet50 regression,
+256x256 inputs) — here jitted once and timed steady-state with
+block_until_ready. Baseline: 5000 images/sec/chip (BASELINE.json north
+star for v5e).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 256
+BASELINE_IPS = 5000.0
+
+
+def main():
+    from hrpe_tpu.models import FullNetConfig, build_full_net
+
+    cfg = FullNetConfig(
+        robot_type="panda",
+        backbone_name="resnet50",
+        rootnet_backbone_name="hrnet32",
+        image_size=256,
+    )
+    model = build_full_net(cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    reg = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
+    root = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
+    k = jnp.full((BATCH,), 1000.0, jnp.float32)
+    K = jnp.tile(
+        jnp.asarray(
+            [[320.0, 0.0, 128.0], [0.0, 320.0, 128.0], [0.0, 0.0, 1.0]],
+            jnp.float32,
+        ),
+        (BATCH, 1, 1),
+    )
+    variables = jax.jit(lambda r: model.init(r, reg, root, k, K, train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    @jax.jit
+    def forward(variables, reg, root, k, K):
+        return model.apply(variables, reg, root, k, K, train=False)
+
+    # warmup / compile
+    out = forward(variables, reg, root, k, K)
+    jax.block_until_ready(out)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = forward(variables, reg, root, k, K)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    ips = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fullnet_inference_images_per_sec_per_chip_b256",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / BASELINE_IPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

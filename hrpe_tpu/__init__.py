@@ -28,3 +28,11 @@ Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls on f32 inputs default to bf16 passes, which corrupts the
+# geometry/FK/PnP math (sub-pixel projection accuracy matters for AUC
+# metrics). Force full f32 precision for f32 matmuls; the model's conv
+# stack explicitly runs in bfloat16 via its dtype and is unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,136 @@
+"""Train-time image augmentations (host-side, PIL/numpy).
+
+Counterparts of lib/dataset/augmentations.py with the same distributions
+(dream.py:346-389): color jitter p=0.4 factor U(1-c,1+c) per channel with
+c=2*U(0,1); occlusion rectangle p=occlu_p area U(0,0.3)*bbox aspect
+U(0.5,2); Pillow sharpness/contrast/brightness/color each p=0.3. All
+randomness goes through an explicit np.random.RandomState so the pipeline
+is seedable/deterministic (the reference uses global `random`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageFilter
+
+
+def color_jitter(rgb: np.ndarray, rng) -> np.ndarray:
+    """Per-channel random gain (ref dream.py:346-354), p handled by caller."""
+    c = 2 * rng.random_sample()
+    lo, hi = 1 - c, 1 + c
+    out = rgb.astype(np.float32).copy()
+    for ch in range(3):
+        out[..., ch] = np.clip(out[..., ch] * rng.uniform(lo, hi), 0, 255)
+    return out.astype(np.uint8)
+
+
+def occlusion_rect(bbox, img_hw, rng, min_area=0.0, max_area=0.3, max_tries=5):
+    """Sample an occlusion rectangle inside the frame (ref augmentations.py:41-75).
+
+    Returns (ymin, h, xmin, w) or zeros when no valid sample found.
+    """
+    x1, y1, x2, y2 = bbox
+    H, W = img_hw
+    for _ in range(max_tries + 1):
+        area = (rng.random_sample() * (max_area - min_area) + min_area) * (
+            (x2 - x1) * (y2 - y1)
+        )
+        ratio = rng.random_sample() * 1.5 + 0.5
+        h = math.sqrt(max(area * ratio, 0.0))
+        w = math.sqrt(max(area / ratio, 1e-9))
+        ox = rng.random_sample() * ((x2 - x1) - w - 1) + x1
+        oy = rng.random_sample() * ((y2 - y1) - h - 1) + y1
+        if ox >= 0 and oy >= 0 and ox + w < W and oy + h < H:
+            return int(oy), int(h), int(ox), int(w)
+    return 0, 0, 0, 0
+
+
+def apply_occlusion(rgb: np.ndarray, bbox, rng) -> np.ndarray:
+    oy, h, ox, w = occlusion_rect(bbox, rgb.shape[:2], rng)
+    if h > 0 and w > 0:
+        rgb = rgb.copy()
+        rgb[oy : oy + h, ox : ox + w] = (
+            rng.random_sample((h, w, 3)) * 255
+        ).astype(rgb.dtype)
+    return rgb
+
+
+_PIL_AUGS = [
+    (ImageEnhance.Sharpness, (0.0, 50.0)),
+    (ImageEnhance.Contrast, (0.7, 1.8)),
+    (ImageEnhance.Brightness, (0.7, 1.8)),
+    (ImageEnhance.Color, (0.0, 4.0)),
+]
+
+
+def pil_photometric(rgb: np.ndarray, rng, p=0.3) -> np.ndarray:
+    """Sharpness/contrast/brightness/color chain (ref const.py:5-10)."""
+    im = Image.fromarray(rgb)
+    for enh, interval in _PIL_AUGS:
+        if rng.random_sample() <= p:
+            im = enh(im).enhance(rng.uniform(*interval))
+    return np.asarray(im)
+
+
+def pil_blur(rgb: np.ndarray, rng, p=0.4, kmin=1, kmax=3) -> np.ndarray:
+    if rng.random_sample() <= p:
+        im = Image.fromarray(rgb).filter(
+            ImageFilter.GaussianBlur(rng.randint(kmin, kmax + 1))
+        )
+        return np.asarray(im)
+    return rgb
+
+
+def grayscale(rgb: np.ndarray, rng, p=0.3) -> np.ndarray:
+    if rng.random_sample() <= p:
+        g = (
+            0.2989 * rgb[..., 0] + 0.5870 * rgb[..., 1] + 0.1140 * rgb[..., 2]
+        ).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=-1)
+    return rgb
+
+
+def resize_with_K(
+    rgb: np.ndarray, K: np.ndarray, out_hw, keypoints_3d: np.ndarray
+):
+    """Resize to out_hw, update K, reproject 2D keypoints from 3D.
+
+    Ref parity: CropResizeToAspectAugmentation (augmentations.py:165-263)
+    — the reference routes this through get_K_crop_resize with the full-
+    frame box and reprojects keypoints through the new K; identical here.
+    """
+    from ..utils import geometry as G
+    import jax.numpy as jnp
+
+    h, w = rgb.shape[:2]
+    oh, ow = out_hw
+    if (h, w) != (oh, ow):
+        im = Image.fromarray(rgb).resize((ow, oh), Image.BILINEAR)
+        rgb = np.asarray(im)
+        box = np.array([[0.0, 0.0, w, h]])
+        K = np.asarray(
+            G.get_K_crop_resize(jnp.asarray(K[None]), jnp.asarray(box), (oh, ow))
+        )[0]
+    kp2d = np.asarray(keypoints_3d) @ K.T
+    kp2d = kp2d[:, :2] / kp2d[:, 2:3]
+    return rgb, K, kp2d
+
+
+def flip_image_K(rgb, K, keypoints_2d, flip_pairs=None):
+    """Horizontal flip: mirror image, negate fx, mirror cx, swap L/R kps.
+
+    Ref parity: FlipAugmentation (augmentations.py:307-319).
+    """
+    rgb = rgb[:, ::-1].copy()
+    w = rgb.shape[1]
+    kp = keypoints_2d.copy()
+    kp[:, 0] = w - kp[:, 0] - 1
+    if flip_pairs is not None:
+        for a, b in flip_pairs:
+            kp[[a, b]] = kp[[b, a]]
+    K = K.copy()
+    K[0, 0] = -K[0, 0]
+    K[0, 2] = w - 1 - K[0, 2]
+    return rgb, K, kp

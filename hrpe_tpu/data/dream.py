@@ -1,0 +1,407 @@
+"""DREAM dataset pipeline — both annotation dialects, fixed-shape output.
+
+The reference's DreamDataset (lib/dataset/dream.py) supports only the
+dofbot Isaac-Sim pickle dialect in its current form (the original DREAM
+JSON parsing is commented out, dream.py:141,176-229). This implementation
+supports BOTH:
+
+  * 'json'   — original DREAM: NNNN.rgb.png/.jpg + NNNN.json with
+               objects[0].keypoints {name, location, projected_location},
+               quaternion_xyzw/location -> TWO (with the UE axis fix),
+               sim_state.joints, bounding_box min/max;
+  * 'pickle' — Isaac-Sim sidecar .pkl with dofbot_joint_names_positions
+               (degrees), camera_ros_axes_to_robot_root_rot (transposed ->
+               TCO rotation), keypoint_dict per-link keypoint_positon /
+               keypoint_projection, robot_bounding_box_2d
+               (ref dream.py:140-308).
+
+Design difference vs reference: every sample is a dict of FIXED-SHAPE
+numpy arrays with GT fully assembled (joints ordered by JOINT_NAMES, TCO
+rotation as a matrix, k-value inputs ready) so the device step function
+is pure math — the reference's per-batch Python GT loops
+(function.py:54-110) do not exist here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+from PIL import Image
+
+from ..utils.geometry import quat_to_rotmat  # noqa: F401 (jax variant unused here)
+from . import augment as A
+from . import bbox as BB
+from .const import FLIP_PAIRS_BAXTER, JOINT_NAMES, LINK_NAMES
+
+# frame ids the reference skips (dream.py:27,39-42)
+KUKA_TRAIN_DR_BAD_IDS = {83114, 28630}
+
+# original DREAM keypoint names -> our LINK_NAMES per robot. For panda the
+# names coincide; kuka uses iiwa7_ prefixes; baxter uses joint-style names.
+_DREAM_KP_TO_INDEX = {
+    "panda": {n: i for i, n in enumerate(LINK_NAMES["panda"])},
+    "kuka": {f"iiwa7_link_{i}": i for i in range(8)},
+    "baxter": {
+        n: i
+        for i, n in enumerate(
+            [
+                "torso_t0", "right_s0", "left_s0", "right_s1", "left_s1",
+                "right_e0", "left_e0", "right_e1", "left_e1", "right_w0",
+                "left_w0", "right_w1", "left_w1", "right_w2", "left_w2",
+                "right_hand", "left_hand",
+            ]
+        )
+    },
+}
+
+_R_NORMAL_UE = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float64)
+
+
+def _quat_xyzw_to_rotmat_np(q):
+    x, y, z, w = q
+    n = np.linalg.norm([w, x, y, z]) + 1e-12
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (w * y + x * z)],
+            [2 * (w * z + x * y), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (w * x + y * z), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def detect_robot(base_dir: str) -> str:
+    s = str(base_dir)
+    for name in ("panda", "baxter", "kuka", "dofbot"):
+        if name in s:
+            return name
+    raise NotImplementedError(f"cannot infer robot from {base_dir}")
+
+
+def build_frame_index(base_dir: Path) -> List[Dict]:
+    """Scan for frames; supports both *.png (pickle dialect) and
+    *.rgb.png/*.rgb.jpg (DREAM json dialect). Ref: dream.py:29-49."""
+    entries = []
+    pats = ["*.png", "*.jpg"]
+    seen = set()
+    for pat in pats:
+        for p in sorted(base_dir.glob(pat)):
+            stem = p.name
+            # strip up to two suffixes: 001234.rgb.png -> 001234
+            base = Path(p.name).with_suffix("").with_suffix("").name
+            try:
+                view_id = int(base)
+            except ValueError:
+                continue
+            if base in seen:
+                continue
+            if view_id == 0 and "panda_synth_test_photo" in str(base_dir):
+                continue
+            if (
+                "kuka_synth_train_dr" in str(base_dir)
+                and view_id in KUKA_TRAIN_DR_BAD_IDS
+            ):
+                continue
+            seen.add(base)
+            entries.append({"rgb_path": str(p), "view_id": view_id, "base": base})
+    return entries
+
+
+class DreamDataset:
+    """Map-style dataset; __getitem__(idx, rng) -> dict of numpy arrays."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        rootnet_resize_hw=(256, 256),
+        other_resize_hw=(256, 256),
+        color_jitter=True,
+        rgb_augmentation=True,
+        occlusion_augmentation=True,
+        occlu_p=0.5,
+        flip=False,
+        strict_crop=True,
+        extend_ratio=(0.2, 0.13),
+        robot: str | None = None,
+        seed: int = 0,
+        include_original: bool = False,
+    ):
+        self.include_original = include_original
+        self.base_dir = Path(base_dir)
+        self.ds_name = os.path.basename(str(base_dir).rstrip("/"))
+        self.robot = robot or detect_robot(base_dir)
+        self.rootnet_resize_hw = rootnet_resize_hw
+        self.other_resize_hw = other_resize_hw
+        self.color_jitter = color_jitter
+        self.rgb_augmentation = rgb_augmentation
+        self.occlusion_augmentation = occlusion_augmentation
+        self.occlu_p = occlu_p
+        self.flip = flip
+        self.strict_crop = strict_crop
+        self.extend_ratio = extend_ratio
+        self.synthetic = not (
+            "panda-3cam" in self.ds_name or "panda-orb" in self.ds_name
+        )
+        # original DREAM synthetic annotations are in cm (ref dream.py:109)
+        self.scale = 0.01 if "synthetic" in str(base_dir) else 1.0
+        self.flip_pairs = FLIP_PAIRS_BAXTER if self.robot == "baxter" else None
+        self.frames = build_frame_index(self.base_dir)
+        self.rng = np.random.RandomState(seed)
+        self._camera = self._load_camera()
+        self.nkpt = len(LINK_NAMES[self.robot])
+        self.dof = len(JOINT_NAMES[self.robot])
+
+    def __len__(self):
+        return len(self.frames)
+
+    # ------------------------------------------------------------------
+    def _load_camera(self):
+        p = self.base_dir / "_camera_settings.json"
+        if p.exists():
+            cams = json.loads(p.read_text())["camera_settings"]
+            intr = cams[0]["intrinsic_settings"]
+            return tuple(float(intr[k]) for k in ("fx", "fy", "cx", "cy"))
+        return None
+
+    def _K_for(self, w, h):
+        if self._camera is not None:
+            fx, fy, cx, cy = self._camera
+        else:
+            fx, fy, cx, cy = 320.0, 320.0, w / 2, h / 2
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+
+    # ------------------------------------------------------------------
+    # annotation dialects -> canonical record
+    # ------------------------------------------------------------------
+
+    def _load_annotation(self, frame) -> Dict:
+        """Returns dict(joints (dof,), TCO (4,4), kp2d (nkpt,2),
+        kp3d (nkpt,3), bbox_strict or None)."""
+        stem = Path(frame["rgb_path"])
+        pkl = stem.with_suffix("").with_suffix(".pkl")
+        jsn = stem.with_suffix("").with_suffix(".json")
+        if pkl.exists():
+            return self._parse_pickle(pkl)
+        if jsn.exists():
+            return self._parse_json(jsn)
+        raise FileNotFoundError(f"no .pkl/.json annotation next to {stem}")
+
+    def _parse_pickle(self, path) -> Dict:
+        """Isaac-Sim pickle dialect (ref dream.py:140-308)."""
+        with open(path, "rb") as f:
+            ann = pickle.load(f)
+        c2b = np.asarray(ann["camera_ros_axes_to_robot_root_rot"], np.float64)
+        link_names = LINK_NAMES[self.robot]
+        kp = ann["keypoint_dict"]
+        by_link = {k.split("/")[-1]: v for k, v in kp.items()}
+        kp3d = np.stack(
+            [np.asarray(by_link[l]["keypoint_positon"], np.float64) for l in link_names]
+        )
+        kp2d = np.stack(
+            [np.asarray(by_link[l]["keypoint_projection"], np.float64) for l in link_names]
+        )
+        # TCO: rotation = c2b^T; translation = link1 camera-frame position
+        first_movable = link_names[1]
+        t = np.asarray(by_link[first_movable]["keypoint_positon"], np.float64)
+        TCO = np.eye(4)
+        TCO[:3, :3] = c2b.T
+        TCO[:3, 3] = t
+        joints_deg = ann["dofbot_joint_names_positions"]
+        joints = np.array(
+            [np.deg2rad(float(joints_deg[n])) for n in JOINT_NAMES[self.robot]],
+            np.float64,
+        )
+        bbox_strict = None
+        if "robot_bounding_box_2d" in ann:
+            bb = ann["robot_bounding_box_2d"]
+            bbox_strict = np.array(
+                [bb["x_min"], bb["y_min"], bb["x_max"], bb["y_max"]], np.float64
+            )
+        return dict(joints=joints, TCO=TCO, kp2d=kp2d, kp3d=kp3d, bbox_strict=bbox_strict)
+
+    def _parse_json(self, path) -> Dict:
+        """Original DREAM json dialect (ref dream.py:141,176-229 commented
+        parsing + README data layout)."""
+        ann = json.loads(Path(path).read_text())
+        obj = ann["objects"][0]
+        translation = np.asarray(obj["location"], np.float64) * self.scale
+        TWO = np.eye(4)
+        if "quaternion_xyzw" in obj:
+            R = _quat_xyzw_to_rotmat_np(obj["quaternion_xyzw"])
+            TWO[:3, :3] = R @ _R_NORMAL_UE
+        TWO[:3, 3] = translation
+        TCO = TWO  # TWC = I in DREAM (ref dream.py:149,198-201)
+
+        name_to_idx = _DREAM_KP_TO_INDEX[self.robot]
+        kp3d = np.full((self.nkpt, 3), np.nan)
+        kp2d = np.full((self.nkpt, 2), np.nan)
+        for k in obj["keypoints"]:
+            i = name_to_idx.get(k["name"])
+            if i is None:
+                continue
+            kp3d[i] = np.asarray(k["location"], np.float64) * self.scale
+            kp2d[i] = np.asarray(k["projected_location"], np.float64)
+        assert np.isfinite(kp3d).all(), f"missing keypoints in {path}"
+
+        joints_raw = ann["sim_state"]["joints"]
+        jmap = {d["name"].split("/")[-1]: float(d["position"]) for d in joints_raw}
+        if self.robot == "kuka":
+            jmap = {k.replace("iiwa7_", "iiwa_"): v for k, v in jmap.items()}
+        joints = []
+        for n in JOINT_NAMES[self.robot]:
+            joints.append(jmap.get(n, 0.0))
+        joints = np.asarray(joints, np.float64)
+
+        bbox_strict = None
+        if "bounding_box" in obj:
+            bb = obj["bounding_box"]
+            bbox_strict = np.array(
+                [bb["min"][0], bb["min"][1], bb["max"][0], bb["max"][1]], np.float64
+            )
+        return dict(joints=joints, TCO=TCO, kp2d=kp2d, kp3d=kp3d, bbox_strict=bbox_strict)
+
+    # ------------------------------------------------------------------
+    # sample assembly
+    # ------------------------------------------------------------------
+
+    def _view(self, rgb, K, kp3d, kp2d, bbox, bbox_strict_orig, K_orig, resize_hw):
+        """Produce one cropped view (ref _get_rootnet_data/_get_other_data,
+        dream.py:415-529): square-pad crop -> resize -> K update -> 2D
+        keypoints reprojected from 3D -> bboxes mapped into crop space."""
+        crop, K_c, kp2d_c = BB.square_pad_crop(rgb, bbox, K, kp2d)
+        crop, K_r, kp2d_r = A.resize_with_K(crop, K_c, resize_hw, kp3d)
+
+        K_orig_inv = np.linalg.inv(K_orig)
+        bb_strict = BB.bbox_through_K(
+            bbox_strict_orig, K_orig_inv, K_r, (resize_hw[1], resize_hw[0])
+        )
+        bb_strict = np.array(
+            [
+                max(0, bb_strict[0]), max(0, bb_strict[1]),
+                min(resize_hw[0], bb_strict[2]), min(resize_hw[1], bb_strict[3]),
+            ]
+        )
+        tight = BB.keypoint_bbox(kp2d_r)
+        w_, h_ = tight[2] - tight[0], tight[3] - tight[1]
+        er = self.extend_ratio
+        bb_ext = BB.extend_bbox(
+            tight, w_ * er[0], h_ * er[1], w_ * er[0], h_ * er[1],
+            image_size=resize_hw,
+        )
+        vmask = (
+            (kp2d_r[:, 0] < resize_hw[0])
+            & (kp2d_r[:, 0] >= 0)
+            & (kp2d_r[:, 1] < resize_hw[1])
+            & (kp2d_r[:, 1] >= 0)
+        ).astype(np.float32)
+        return dict(
+            images=crop.astype(np.uint8),
+            K=K_r.astype(np.float32),
+            keypoints_2d=kp2d_r.astype(np.float32),
+            keypoints_3d=kp3d.astype(np.float32),
+            valid_mask_crop=vmask,
+            bbox_strict_bounded=bb_strict.astype(np.float32),
+            bbox_gt2d_extended=bb_ext.astype(np.float32),
+        )
+
+    def __getitem__(self, idx: int, rng: np.random.RandomState | None = None) -> Dict:
+        rng = rng or self.rng
+        frame = self.frames[idx]
+        img = Image.open(frame["rgb_path"])
+        rgb = np.asarray(img.convert("RGB")) if img.mode != "RGB" else np.asarray(img)
+        h, w = rgb.shape[:2]
+        K_orig = self._K_for(w, h)
+        ann = self._load_annotation(frame)
+        kp2d, kp3d = ann["kp2d"], ann["kp3d"]
+
+        tight = BB.keypoint_bbox(kp2d)
+        bbox = BB.expand_bbox(
+            tight, w, h, strict=self.strict_crop,
+            rng=None if self.strict_crop else rng,
+        )
+        bbox_ext_orig = BB.extend_bbox(tight, 20, 20, 20, 20, image_size=(w, h))
+        if ann["bbox_strict"] is not None:
+            bs = ann["bbox_strict"]
+            bbox_strict = np.array(
+                [max(0, bs[0]), max(0, bs[1]), min(w, bs[2]), min(h, bs[3])]
+            )
+        else:
+            bbox_strict = bbox_ext_orig.copy()
+
+        valid_mask = (
+            (kp2d[:, 0] < 640.0) & (kp2d[:, 0] >= 0)
+            & (kp2d[:, 1] < 480.0) & (kp2d[:, 1] >= 0)
+        ).astype(np.float32)
+
+        # augmentations (train only; distributions per dream.py:346-389)
+        if self.color_jitter and rng.random_sample() < 0.4:
+            rgb = A.color_jitter(rgb, rng)
+        if self.occlusion_augmentation and rng.random_sample() < self.occlu_p:
+            rgb = A.apply_occlusion(rgb, bbox, rng)
+        if self.rgb_augmentation:
+            rgb = A.pil_photometric(rgb, rng, p=0.3)
+
+        root = self._view(
+            rgb, K_orig.copy(), kp3d, kp2d.copy(), bbox,
+            bbox_strict, K_orig, self.rootnet_resize_hw,
+        )
+        other = self._view(
+            rgb, K_orig.copy(), kp3d, kp2d.copy(), bbox,
+            bbox_strict, K_orig, self.other_resize_hw,
+        )
+
+        sample_extra = (
+            {"images_original": rgb.astype(np.uint8)} if self.include_original else {}
+        )
+        return {
+            **sample_extra,
+            "image_id": np.int32(idx),
+            "TCO": ann["TCO"].astype(np.float32),
+            "K_original": K_orig.astype(np.float32),
+            "jointpose": ann["joints"].astype(np.float32),
+            "keypoints_2d_original": kp2d.astype(np.float32),
+            "keypoints_3d_original": kp3d.astype(np.float32),
+            "valid_mask": valid_mask,
+            "bbox_strict_bounded_original": bbox_strict.astype(np.float32),
+            "bbox_gt2d_extended_original": bbox_ext_orig.astype(np.float32),
+            "root": root,
+            "other": other,
+        }
+
+
+def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    """Stack samples into the flat batch layout the engine consumes."""
+    def stack(path):
+        a, b = (path.split("/") + [None])[:2]
+        if b is None:
+            return np.stack([s[a] for s in samples])
+        return np.stack([s[a][b] for s in samples])
+
+    extra = (
+        {"images_original": stack("images_original")}
+        if "images_original" in samples[0]
+        else {}
+    )
+    return {
+        **extra,
+        "TCO": stack("TCO"),
+        "K_original": stack("K_original"),
+        "jointpose": stack("jointpose"),
+        "keypoints_2d_original": stack("keypoints_2d_original"),
+        "valid_mask": stack("valid_mask"),
+        "bbox_strict_bounded_original": stack("bbox_strict_bounded_original"),
+        "root_images": stack("root/images"),
+        "root_K": stack("root/K"),
+        "root_bbox_strict_bounded": stack("root/bbox_strict_bounded"),
+        "root_bbox_gt2d_extended": stack("root/bbox_gt2d_extended"),
+        "other_images": stack("other/images"),
+        "other_K": stack("other/K"),
+        "other_keypoints_2d": stack("other/keypoints_2d"),
+        "other_keypoints_3d": stack("other/keypoints_3d"),
+        "other_valid_mask_crop": stack("other/valid_mask_crop"),
+    }

@@ -1,0 +1,84 @@
+"""Checkpoint save/load with the reference's best-model policy.
+
+Orbax-backed state persistence with per-validation-set "best" checkpoints
+(dr + azure/kinect/realsense/orb) and the epoch-regression guard that
+protects against preemptible-cluster restarts overwriting newer bests
+(ref lib/utils/utils.py:223-268, train_depthnet.py:464-527). Resume
+restores params/opt-state/epoch/best-AUC watermarks (ref utils.py:191-220).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+REAL_SETS = ["azure", "kinect", "realsense", "orb"]
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.ckpt_dir, f"best_{tag}")
+
+    def _meta_path(self, tag: str) -> str:
+        return os.path.join(self.ckpt_dir, f"best_{tag}.meta.json")
+
+    def read_meta(self, tag: str) -> Optional[Dict]:
+        p = self._meta_path(tag)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    # ------------------------------------------------------------------
+    def save_if_best(
+        self, tag: str, state, epoch: int, score: float, prev_best: float
+    ) -> float:
+        """Save when `score` beats `prev_best`, unless an on-disk ckpt from
+        a LATER epoch exists (restart-safety guard, ref utils.py:232-240).
+        Returns the new best score."""
+        meta = self.read_meta(tag)
+        if meta is not None and epoch <= meta["epoch"]:
+            return max(prev_best, meta["score"])
+        if score <= prev_best:
+            return prev_best
+        path = self._path(tag)
+        # orbax requires a fresh directory
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        self._ckptr.save(path, jax.device_get(state))
+        self._ckptr.wait_until_finished()
+        with open(self._meta_path(tag), "w") as f:
+            json.dump({"epoch": epoch, "score": score, "tag": tag}, f)
+        return score
+
+    def restore(self, tag: str, target_state):
+        path = self._path(tag)
+        return self._ckptr.restore(path, target=jax.device_get(target_state))
+
+    def resume(self, target_state):
+        """Resume from best_dr; returns (state, start_epoch, best_scores).
+
+        Ref parity: utils.py:191-220 (per-real-set best watermarks).
+        """
+        meta = self.read_meta("dr")
+        if meta is None:
+            return target_state, 0, {"dr": 0.0, **{k: 0.0 for k in REAL_SETS}}
+        state = self.restore("dr", target_state)
+        bests = {"dr": meta["score"]}
+        for name in REAL_SETS:
+            m = self.read_meta(name)
+            bests[name] = m["score"] if m else 0.0
+        return state, meta["epoch"] + 1, bests

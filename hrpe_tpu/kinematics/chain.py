@@ -115,13 +115,11 @@ class KinematicChain:
             max((j.act_index for j in ordered if j.act_index >= 0), default=-1) + 1
         )
 
-        # static per-joint tensors
-        self._origins = jnp.asarray(
-            np.stack([j.origin for j in ordered]).astype(np.float32)
-        )  # (J, 4, 4)
-        self._axes = jnp.asarray(
-            np.stack([j.axis for j in ordered]).astype(np.float32)
-        )  # (J, 3)
+        # static per-joint tensors — kept as NUMPY so a chain instance can
+        # be cached and reused across jit traces without leaking tracers
+        # (jnp constants created inside a trace are trace-local)
+        self._origins = np.stack([j.origin for j in ordered]).astype(np.float32)
+        self._axes = np.stack([j.axis for j in ordered]).astype(np.float32)
         self._types = [j.joint_type for j in ordered]
         self._act = [(j.act_index, j.mimic_multiplier, j.mimic_offset) for j in ordered]
 
@@ -131,9 +129,7 @@ class KinematicChain:
         self.num_keypoints = len(self.keypoint_links)
         if keypoint_offsets is None:
             keypoint_offsets = np.zeros((self.num_keypoints, 3), np.float32)
-        self.keypoint_offsets = jnp.asarray(
-            np.asarray(keypoint_offsets, np.float32)
-        )  # (nkpt, 3)
+        self.keypoint_offsets = np.asarray(keypoint_offsets, np.float32)  # (nkpt, 3)
 
     # ------------------------------------------------------------------
     # core FK
@@ -157,7 +153,7 @@ class KinematicChain:
                 cols.append(q[:, act_index] * mult + off)
         t = jnp.stack(cols, axis=1)  # (B, J)
 
-        axes = self._axes  # (J, 3)
+        axes = jnp.asarray(self._axes)  # (J, 3)
         ct = jnp.cos(t)[..., None, None]  # (B, J, 1, 1)
         st = jnp.sin(t)[..., None, None]
         # K = [axis]_x, R = I + sin t K + (1 - cos t) K^2
@@ -186,7 +182,7 @@ class KinematicChain:
         local = local.at[..., :3, :3].set(R)
         local = local.at[..., :3, 3].set(trans)
         local = local.at[..., 3, 3].set(1.0)
-        return self._origins[None] @ local
+        return jnp.asarray(self._origins)[None] @ local
 
     def link_poses(self, q: Array) -> Array:
         """FK: joint vector (B, dof) -> all link poses (B, L, 4, 4) in base frame.
@@ -225,7 +221,7 @@ class KinematicChain:
 
     def _points_from_poses(self, TWL: Array) -> Array:
         """Apply per-keypoint offsets: (B, nkpt, 4, 4) -> (B, nkpt, 3)."""
-        off = self.keypoint_offsets  # (nkpt, 3)
+        off = jnp.asarray(self.keypoint_offsets)  # (nkpt, 3)
         return (
             jnp.einsum("bkij,kj->bki", TWL[..., :3, :3], off) + TWL[..., :3, 3]
         )

@@ -1,0 +1,168 @@
+"""CtRNet foreground segmentation + keypoint network (sim2real masks).
+
+Re-design of lib/models/ctrnet/keypoint_seg_resnet.py (KeyPointSegNet:
+torchvision DeepLabV3-ResNet50 backbone with a 1-class segmentation
+classifier and a deconv + spatial-soft-argmax keypoint head,
+:103-149) and ctrnet/mask_inference.py (frozen inference wrapper with
+ImageNet normalization and 0.5x resize, :13-60).
+
+Components here:
+  * DilatedResNet50 trunk (output stride 8: layer3/4 stride->dilation)
+  * ASPP (atrous rates 12/24/36 + image pooling)
+  * SegHead -> 1-channel logits upsampled to input size
+  * KeyPointSegNet -> (seg_logits, keypoints) like the reference
+  * seg_mask_inference -> sigmoid mask at half resolution
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .resnet import Bottleneck
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def _bn(train, dtype, name):
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=dtype, name=name,
+    )
+
+
+class DilatedResNet50(nn.Module):
+    """ResNet-50 trunk with output stride 8 (layers 3/4 dilated)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = _bn(train, self.dtype, "bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        specs = [
+            (3, 64, 1, 1), (4, 128, 2, 1), (6, 256, 1, 2), (3, 512, 1, 4)
+        ]  # (blocks, width, stride, dilation)
+        in_ch = 64
+        for stage, (n_blocks, width, stride, dil) in enumerate(specs):
+            for b in range(n_blocks):
+                down = b == 0 and (stride != 1 or in_ch != width * 4)
+                x = Bottleneck(
+                    width, stride if b == 0 else 1, down, self.dtype,
+                    dilation=dil, name=f"layer{stage+1}_{b}",
+                )(x, train)
+                in_ch = width * 4
+        return x  # (B, H/8, W/8, 2048)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (deeplabv3)."""
+
+    out_ch: int = 256
+    rates: Sequence[int] = (12, 24, 36)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        branches = []
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="b0_conv")(x)
+        branches.append(nn.relu(_bn(train, self.dtype, "b0_bn")(y)))
+        for i, r in enumerate(self.rates):
+            y = nn.Conv(
+                self.out_ch, (3, 3), padding=[(r, r)] * 2,
+                kernel_dilation=(r, r), use_bias=False, dtype=self.dtype,
+                name=f"b{i+1}_conv",
+            )(x)
+            branches.append(nn.relu(_bn(train, self.dtype, f"b{i+1}_bn")(y)))
+        # image pooling branch
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="pool_conv")(g)
+        g = nn.relu(_bn(train, self.dtype, "pool_bn")(g))
+        g = jnp.broadcast_to(g, x.shape[:3] + (self.out_ch,))
+        branches.append(g)
+        y = jnp.concatenate(branches, axis=-1)
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="proj_conv")(y)
+        y = nn.relu(_bn(train, self.dtype, "proj_bn")(y))
+        return y
+
+
+def _resize_bilinear(x, hw):
+    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[-1]), "bilinear")
+
+
+class KeyPointSegNet(nn.Module):
+    """DeepLabV3 trunk + 1-class seg head + keypoint soft-argmax head."""
+
+    num_keypoints: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        H, W = x.shape[1:3]
+        f = DilatedResNet50(self.dtype, name="backbone")(x, train)
+        a = ASPP(dtype=self.dtype, name="aspp")(f, train)
+        seg = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                      dtype=self.dtype, name="seg_conv")(a)
+        seg = nn.relu(_bn(train, self.dtype, "seg_bn")(seg))
+        seg_logits = nn.Conv(1, (1, 1), dtype=self.dtype, name="seg_out")(seg)
+        seg_logits = _resize_bilinear(seg_logits, (H, W))
+
+        # keypoint head: deconv x2 + 1x1 -> spatial soft-argmax
+        y = a
+        for i in range(2):
+            y = nn.ConvTranspose(256, (4, 4), strides=(2, 2), padding="SAME",
+                                 use_bias=False, dtype=self.dtype, name=f"kp_deconv{i}")(y)
+            y = nn.relu(_bn(train, self.dtype, f"kp_bn{i}")(y))
+        hm = nn.Conv(self.num_keypoints, (1, 1), dtype=self.dtype, name="kp_out")(y)
+        B, h, w, Kk = hm.shape
+        p = jax.nn.softmax(hm.reshape(B, h * w, Kk), axis=1).reshape(B, h, w, Kk)
+        xs = jnp.arange(w, dtype=jnp.float32) * (W / w)
+        ys = jnp.arange(h, dtype=jnp.float32) * (H / h)
+        kp_x = jnp.einsum("bhwk,w->bk", p, xs)
+        kp_y = jnp.einsum("bhwk,h->bk", p, ys)
+        keypoints = jnp.stack([kp_x, kp_y], axis=-1)  # (B, K, 2)
+        return seg_logits[..., 0], keypoints
+
+
+class SegMaskInference:
+    """Frozen mask inference (ref ctrnet/mask_inference.py:13-60).
+
+    Normalizes with ImageNet stats, runs at `scale` resolution, returns a
+    sigmoid foreground mask.
+    """
+
+    def __init__(self, model: KeyPointSegNet, variables, scale: float = 0.5):
+        self.model = model
+        self.variables = variables
+        self.scale = scale
+
+        def _fn(variables, images):
+            x = (images - IMAGENET_MEAN) / IMAGENET_STD
+            B, H, W, _ = x.shape
+            hw = (int(H * scale), int(W * scale))
+            x = _resize_bilinear(x, hw)
+            logits, _ = self.model.apply(variables, x, train=False)
+            return jax.nn.sigmoid(logits)
+
+        self._fn = jax.jit(_fn)
+
+    def __call__(self, images_01):
+        """images_01: (B, H, W, 3) floats in [0,1] -> (B, H*s, W*s) mask."""
+        return self._fn(self.variables, images_01)
+
+
+def build_seg_net(num_keypoints=7, rng=None, image_hw=(240, 320)):
+    """Construct + init a KeyPointSegNet (random weights; real deployments
+    import the reference's pretrained per-camera .pth via checkpoint_io)."""
+    model = KeyPointSegNet(num_keypoints=num_keypoints)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    x = jnp.zeros((1, image_hw[0], image_hw[1], 3))
+    variables = jax.jit(lambda r: model.init(r, x, train=False))(rng)
+    return model, variables

@@ -79,13 +79,20 @@ class FullNetConfig:
 
 
 class FullNetOutput(dict):
-    """Prediction bundle; dict-backed so it is a pytree automatically."""
+    """Prediction bundle: dict with attribute access, registered as a pytree."""
 
     def __getattr__(self, k):
         try:
             return self[k]
         except KeyError as e:
             raise AttributeError(k) from e
+
+
+jax.tree_util.register_pytree_node(
+    FullNetOutput,
+    lambda d: (tuple(d.values()), tuple(d.keys())),
+    lambda keys, vals: FullNetOutput(zip(keys, vals)),
+)
 
 
 class RootNetwithRegInt(nn.Module):

@@ -96,6 +96,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -103,7 +104,15 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.planes, 3, self.stride, "conv2", self.dtype)(y)
+        if self.dilation > 1:
+            y = nn.Conv(
+                self.planes, (3, 3), strides=(self.stride, self.stride),
+                padding=[(self.dilation, self.dilation)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False, dtype=self.dtype, name="conv2",
+            )(y)
+        else:
+            y = conv(self.planes, 3, self.stride, "conv2", self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)

@@ -52,7 +52,9 @@ def test_rot9d_projection():
     rng = np.random.RandomState(3)
     r9 = rng.randn(16, 9).astype(np.float32)
     R = np.asarray(G.rot9d_to_rotmat(jnp.asarray(r9)))
-    np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2), np.eye(3)[None], atol=1e-4)
+    np.testing.assert_allclose(
+        R @ np.swapaxes(R, -1, -2), np.tile(np.eye(3), (len(R), 1, 1)), atol=1e-4
+    )
     np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-4)
 
 
@@ -102,11 +104,15 @@ def test_inv_K_closed_form():
 
 
 def test_K_crop_resize_identity():
-    # cropping the full 256x256 frame and resizing to 256x256 is a no-op
+    # full-frame crop at equal size: focals unchanged, principal point
+    # shifted by the reference's (w-1)/2 center convention
+    # (geometries.py:381-396 maps cx -> (out-1)/2 + (cx - crop_center))
     K = jnp.asarray([[[320.0, 0.0, 128.0], [0.0, 320.0, 128.0], [0.0, 0.0, 1.0]]])
     boxes = jnp.asarray([[0.0, 0.0, 256.0, 256.0]])
-    K2 = G.get_K_crop_resize(K, boxes, (256, 256))
-    np.testing.assert_allclose(np.asarray(K2), np.asarray(K), atol=1e-4)
+    K2 = np.asarray(G.get_K_crop_resize(K, boxes, (256, 256)))[0]
+    assert K2[0, 0] == 320.0 and K2[1, 1] == 320.0
+    np.testing.assert_allclose(K2[0, 2], 127.5, atol=1e-4)
+    np.testing.assert_allclose(K2[1, 2], 127.5, atol=1e-4)
 
 
 def test_K_crop_resize_projection_consistency():
@@ -119,9 +125,9 @@ def test_K_crop_resize_projection_consistency():
     uv_full = np.asarray(G.project_points(K, pt))[0, 0]
     uv_crop = np.asarray(G.project_points(K2, pt))[0, 0]
     scale = 256.0 / 320.0
-    # reference center convention: offset by crop origin then scale about
-    # (w-1)/2-style centers; verify against direct formula
-    expect = ((uv_full - box[:2]) - (320.0 - 1) / 2) * scale + (256.0 - 1) / 2
+    # derived from the reference formula: u' = s*(u - crop_center) + (out-1)/2
+    crop_center = (box[:2] + box[2:]) / 2
+    expect = (uv_full - crop_center) * scale + (256.0 - 1) / 2
     np.testing.assert_allclose(uv_crop, expect, atol=1e-3)
 
 
