@@ -51,14 +51,24 @@ def main():
 
     # warmup / compile
     out = forward(variables, reg, root, k, K)
-    jax.block_until_ready(out)
+    _ = np.asarray(out["depth"])
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(variables, reg, root, k, K)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    # Timing notes for this hosted TPU runtime: block_until_ready returns
+    # early and identical dispatches are memoized, so every iteration
+    # feeds a DISTINCT input and the clock stops on an actual
+    # device->host fetch — the only true synchronization point. Median of
+    # per-iteration times (each includes one tunnel round trip, so this
+    # slightly understates raw device throughput).
+    n_iters = 8
+    regs = [reg + jnp.float32(i) * 1e-6 for i in range(n_iters)]
+    _ = [np.asarray(r[0, 0, 0, 0]) for r in regs]
+    times = []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        out = forward(variables, regs[i], root, k, K)
+        _ = np.asarray(out["depth"])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     ips = BATCH / dt
     print(

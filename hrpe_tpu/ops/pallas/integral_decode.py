@@ -39,12 +39,16 @@ def _decode_kernel(hm_ref, coords_ref, out_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dims",))
-def fused_heatmap_expectations(hm_flat: jax.Array, dims: Sequence[int]) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+def fused_heatmap_expectations(
+    hm_flat: jax.Array, dims: Sequence[int], interpret: bool = False
+) -> jax.Array:
     """(B, K, N) flattened heatmaps -> normalized uvd (B, K, 3) in [-0.5, 0.5].
 
     Numerically identical to models.integral.heatmap_expectations (softmax
-    + expectation), fused into a single pass.
+    + expectation), fused into a single pass. `interpret=True` runs the
+    kernel through the Pallas interpreter (CPU tests; also the fallback
+    where the TPU runtime cannot compile Mosaic kernels).
     """
     D, H, W = dims
     B, K, N = hm_flat.shape
@@ -72,6 +76,7 @@ def fused_heatmap_expectations(hm_flat: jax.Array, dims: Sequence[int]) -> jax.A
             pl.BlockSpec((N, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_ROW_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(rows, coords)[:n_rows]
 
     e = sums[:, :3] / jnp.maximum(sums[:, 3:4], 1e-30)
