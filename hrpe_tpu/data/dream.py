@@ -272,9 +272,41 @@ class DreamDataset:
     def _view(self, rgb, K, kp3d, kp2d, bbox, bbox_strict_orig, K_orig, resize_hw):
         """Produce one cropped view (ref _get_rootnet_data/_get_other_data,
         dream.py:415-529): square-pad crop -> resize -> K update -> 2D
-        keypoints reprojected from 3D -> bboxes mapped into crop space."""
-        crop, K_c, kp2d_c = BB.square_pad_crop(rgb, bbox, K, kp2d)
-        crop, K_r, kp2d_r = A.resize_with_K(crop, K_c, resize_hw, kp3d)
+        keypoints reprojected from 3D -> bboxes mapped into crop space.
+
+        The image path uses the fused C++ crop+resize kernel
+        (hrpe_tpu/native) when built; K/keypoint math stays in numpy
+        either way (identical geometry)."""
+        from .. import native
+
+        fused = native.crop_resize_batch(
+            rgb[None], np.asarray(bbox, np.float32)[None], resize_hw[0]
+        ) if resize_hw[0] == resize_hw[1] else None
+        if fused is not None:
+            # replicate only the K update of the crop+resize chain
+            import jax.numpy as jnp
+
+            from ..utils import geometry as G
+
+            x1, y1, x2, y2 = [int(v) for v in bbox]
+            L = int(max(x2 - x1, y2 - y1))
+            ox = int((L - (x2 - x1)) // 2)
+            oy = int((L - (y2 - y1)) // 2)
+            K_c = np.asarray(K, np.float64).copy()
+            K_c[0, 2] -= x1 - ox
+            K_c[1, 2] -= y1 - oy
+            box = np.array([[0.0, 0.0, L, L]])
+            K_r = np.asarray(
+                G.get_K_crop_resize(
+                    jnp.asarray(K_c[None]), jnp.asarray(box), resize_hw
+                )
+            )[0]
+            kp2d_r = np.asarray(kp3d) @ K_r.T
+            kp2d_r = kp2d_r[:, :2] / kp2d_r[:, 2:3]
+            crop = fused[0]
+        else:
+            crop, K_c, kp2d_c = BB.square_pad_crop(rgb, bbox, K, kp2d)
+            crop, K_r, kp2d_r = A.resize_with_K(crop, K_c, resize_hw, kp3d)
 
         K_orig_inv = np.linalg.inv(K_orig)
         bb_strict = BB.bbox_through_K(

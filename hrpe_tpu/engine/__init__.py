@@ -10,4 +10,5 @@ from .train_state import (  # noqa: F401
     make_full_net_step,
     set_learning_rate,
 )
+from .sim2real import Sim2RealTrainer, make_sim2real_step  # noqa: F401
 from .trainer import Trainer, get_dataloaders  # noqa: F401

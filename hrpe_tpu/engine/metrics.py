@@ -121,3 +121,32 @@ def summary_add_pck(dis3d: np.ndarray, dis2d: np.ndarray) -> Dict[str, float]:
     for t in PCK_THRESHOLDS_PX:
         summary[f"PCK_{t}_pixel"] = float(np.mean(dis2d <= t))
     return summary
+
+
+def draw_add_curve(dis3d, save_path, title="ADD curve", auc_value=None):
+    """ADD threshold curve + distance histograms (ref metrics.py:165-213)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dis3d = np.asarray(dis3d, np.float64)
+    ts = np.arange(0.0, 0.1, 1e-5)
+    frac = (dis3d[None, :] <= ts[:, None]).mean(axis=1)
+    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+    axes[0].plot(ts, frac)
+    axes[0].set_xlim(0, 0.1)
+    axes[0].set_ylim(0, 1)
+    axes[0].set_xlabel("ADD threshold (m)")
+    axes[0].set_ylabel("fraction under threshold")
+    axes[0].axvline(np.mean(dis3d), color="red", ls="--", label="mean")
+    axes[0].axvline(np.median(dis3d), color="green", ls="--", label="median")
+    if auc_value is not None:
+        axes[0].text(0.002, 0.9, f"AUC={auc_value*100:.2f}")
+    axes[0].legend()
+    axes[0].set_title(title)
+    axes[1].hist(np.clip(dis3d, 0, 0.5), bins=60)
+    axes[1].set_title("3D distance distribution")
+    fig.savefig(save_path, dpi=100)
+    plt.close(fig)
+    return save_path

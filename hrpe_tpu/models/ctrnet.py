@@ -158,6 +158,39 @@ class SegMaskInference:
         return self._fn(self.variables, images_01)
 
 
+class CtRNet:
+    """Keypoint+segmentation robot pose estimator (ref ctrnet/CtRNet.py:49-193).
+
+    Combines KeyPointSegNet detections with the JAX PnP solver to produce
+    base->camera poses from a single frame — the reference's
+    `inference_single_image` / BPnP path, with OpenCV replaced by
+    hrpe_tpu.pnp. The self-training loop of the reference (:151-193)
+    corresponds to engine/sim2real.py in this framework.
+    """
+
+    def __init__(self, model: KeyPointSegNet, variables, robot, K):
+        import jax.numpy as _jnp
+
+        self.model = model
+        self.variables = variables
+        self.robot = robot
+        self.K = _jnp.asarray(K)
+
+    def inference(self, images_01, joint_angles):
+        """images (B,H,W,3) in [0,1] + joint angles (B,dof) ->
+        (theta (B,6) axis-angle|trans, seg_mask, keypoints2d)."""
+        import jax
+
+        from ..pnp import pnp_pose
+
+        x = (images_01 - IMAGENET_MEAN) / IMAGENET_STD
+        seg_logits, kp2d = self.model.apply(self.variables, x, train=False)
+        world_pts = self.robot.keypoints_fk_only(joint_angles)
+        n = min(kp2d.shape[1], world_pts.shape[1])
+        theta = pnp_pose(kp2d[:, :n], world_pts[:, :n], self.K)
+        return theta, jax.nn.sigmoid(seg_logits), kp2d
+
+
 def build_seg_net(num_keypoints=7, rng=None, image_hw=(240, 320)):
     """Construct + init a KeyPointSegNet (random weights; real deployments
     import the reference's pretrained per-camera .pth via checkpoint_io)."""

@@ -290,7 +290,7 @@ class RootNetwithRegInt(nn.Module):
             axis=-1,
         )
         pred_uvd, pred_xyz_int = integral_pose_decode(
-            hm.astype(jnp.float32),
+            hm,  # bf16 reads OK — decode accumulates in f32 internally
             c.nkpt, self.depth_dim, self.hm_size, self.hm_size,
             K, invk, root_trans3, float(c.image_size), c.depth_factor,
             rootid=c.reference_keypoint_id, fixroot=c.fix_root,

@@ -37,16 +37,46 @@ def heatmap_expectations(hm_flat: Array, dims: Sequence[int]) -> Array:
     dims = (D, H, W). Returns (B, K, 3) ordered (u=x, v=y, d=z).
     """
     D, H, W = dims
+    hm_flat = hm_flat.astype(jnp.float32)
     p = jax.nn.softmax(hm_flat, axis=-1)
-    n = jnp.arange(D * H * W, dtype=hm_flat.dtype)
+    n = jnp.arange(D * H * W, dtype=jnp.float32)
     ix = jnp.mod(n, W)
     iy = jnp.mod(n // W, H)
     iz = n // (W * H)
     # single contraction (B, K, N) x (N, 3) -> (B, K, 3) rides the MXU
     coords = jnp.stack([ix, iy, iz], axis=-1)  # (N, 3)
     e = jnp.einsum("bkn,nc->bkc", p, coords)
-    scale = jnp.asarray([W, H, D], hm_flat.dtype)
+    scale = jnp.asarray([W, H, D], jnp.float32)
     return e / scale - 0.5
+
+
+def heatmap_expectations_nhwc(hm: Array, num_joints: int, depth_dim: int) -> Array:
+    """NHWC conv-head output (B, H, W, K*D) -> normalized uvd (B, K, 3).
+
+    Layout-native decode: the (k, d) split is a free last-dim reshape in
+    NHWC, so — unlike the reference's reshape to (B, K, D, H, W)
+    (integral.py:116-122), which materializes a full transposed copy of
+    the ~2 GB heatmap volume — this version is pure reductions over the
+    conv layout. Reads may be bf16; exp/accumulation are f32. The channel
+    convention channel = k*D + d matches the reference.
+    """
+    B, H, W, KD = hm.shape
+    D = depth_dim
+    K = num_joints
+    hm5 = hm.reshape(B, H, W, K, D)
+    m = jnp.max(hm5, axis=(1, 2, 4), keepdims=True).astype(jnp.float32)
+    e = jnp.exp(hm5.astype(jnp.float32) - m)  # (B, H, W, K, D)
+    S = jnp.sum(e, axis=(1, 2, 4))  # (B, K)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    zs = jnp.arange(D, dtype=jnp.float32)
+    Ex = jnp.einsum("bhwkd,w->bk", e, xs)
+    Ey = jnp.einsum("bhwkd,h->bk", e, ys)
+    Ez = jnp.einsum("bhwkd,d->bk", e, zs)
+    u = Ex / (S * W)
+    v = Ey / (S * H)
+    d = Ez / (S * D)
+    return jnp.stack([u, v, d], axis=-1) - 0.5
 
 
 def gumbel_heatmap_expectations(
@@ -87,20 +117,23 @@ def integral_pose_decode(
     """
     B = heatmap.shape[0]
     dims = (depth_dim, height_dim, width_dim)
-    if heatmap.ndim == 4:  # NHWC conv output
-        # (B, H, W, K*D) -> (B, K, D, H, W) flattened: channel = k*D + d
-        hm = heatmap.reshape(B, height_dim, width_dim, num_joints, depth_dim)
-        hm = hm.transpose(0, 3, 4, 1, 2).reshape(B, num_joints, -1)
+    if heatmap.ndim == 4 and norm_type == "softmax":
+        # layout-native fast path: no transpose of the heatmap volume
+        uvd = heatmap_expectations_nhwc(heatmap, num_joints, depth_dim)
     else:
-        hm = heatmap.reshape(B, num_joints, -1)
-
-    if norm_type == "softmax":
-        uvd = heatmap_expectations(hm, dims)
-    elif norm_type == "sampling":
-        assert rng is not None
-        uvd = gumbel_heatmap_expectations(hm, dims, rng)
-    else:
-        raise NotImplementedError(norm_type)
+        if heatmap.ndim == 4:  # NHWC conv output
+            # (B, H, W, K*D) -> (B, K, D, H, W) flat: channel = k*D + d
+            hm = heatmap.reshape(B, height_dim, width_dim, num_joints, depth_dim)
+            hm = hm.transpose(0, 3, 4, 1, 2).reshape(B, num_joints, -1)
+        else:
+            hm = heatmap.reshape(B, num_joints, -1)
+        if norm_type == "softmax":
+            uvd = heatmap_expectations(hm, dims)
+        elif norm_type == "sampling":
+            assert rng is not None
+            uvd = gumbel_heatmap_expectations(hm, dims, rng)
+        else:
+            raise NotImplementedError(norm_type)
 
     if fixroot:
         # pin the reference keypoint's depth offset to zero (ref :151,194)
