@@ -259,17 +259,35 @@ def load_robot(robot_type: str, urdf_path: str | None = None) -> KinematicChain:
     result is a static pytree-backed chain usable inside jit.
     """
     if urdf_path is not None:
-        offsets = None
         if robot_type == "baxter":
-            # offsets must come from the parsed joints; handled below
-            raise NotImplementedError(
-                "baxter-from-URDF keypoint offsets: use built-in or extend"
+            # baxter keypoints attach to the PARENT links of named joints,
+            # offset by each joint's origin translation (urdf_robot.py:68-87)
+            from .urdf import parse_urdf
+
+            parsed = parse_urdf(urdf_path)
+            jmap = {name: (parent, origin)
+                    for (name, _, parent, _, origin, _) in parsed.joints}
+            kp_joint_names = [
+                "torso_t0", "right_s0", "left_s0", "right_s1", "left_s1",
+                "right_e0", "left_e0", "right_e1", "left_e1", "right_w0",
+                "left_w0", "right_w1", "left_w1", "right_w2", "left_w2",
+                "right_hand_joint", "left_hand_joint",
+            ]
+            # some baxter URDFs name the hand joints differently
+            for alt in ["right_hand", "left_hand"]:
+                if alt in jmap and f"{alt}_joint" not in jmap:
+                    jmap[f"{alt}_joint"] = jmap[alt]
+            kp_links = [jmap[n][0] for n in kp_joint_names]
+            offsets = np.stack([jmap[n][1][:3, 3] for n in kp_joint_names])
+            return chain_from_urdf(
+                urdf_path, kp_links, JOINT_NAMES[robot_type], offsets,
+                name=robot_type,
             )
         return chain_from_urdf(
             urdf_path,
             LINK_NAMES[robot_type],
             JOINT_NAMES[robot_type],
-            offsets,
+            None,
             name=robot_type,
         )
     if robot_type not in _CACHE:
