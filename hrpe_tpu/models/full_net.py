@@ -123,7 +123,7 @@ class RootNetwithRegInt(nn.Module):
         if c.add_fc:
             self.depth_fc_d1 = nn.Dense(1024, dtype=self.dtype)
             self.depth_fc_d2 = nn.Dense(512, dtype=self.dtype)
-            self.depth_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
+            self.depth_bn = nn.BatchNorm(momentum=0.9, dtype=jnp.float32)
             self.depth_fc_u2 = nn.Dense(1024, dtype=self.dtype)
             self.depth_fc_u1 = nn.Dense(self.root_feat_ch, dtype=self.dtype)
 
@@ -144,7 +144,7 @@ class RootNetwithRegInt(nn.Module):
                         ch, (4, 4), strides=(2, 2), padding="SAME",
                         use_bias=False, dtype=self.dtype, name=f"deconv{i}",
                     ),
-                    nn.BatchNorm(momentum=0.9, dtype=self.dtype, name=f"deconv_bn{i}"),
+                    nn.BatchNorm(momentum=0.9, dtype=jnp.float32, name=f"deconv_bn{i}"),
                 )
                 for i, ch in enumerate(c.deconv_dim)
             ]
@@ -158,7 +158,7 @@ class RootNetwithRegInt(nn.Module):
                 (
                     nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
                             name=f"joint_conv{i}"),
-                    nn.BatchNorm(momentum=0.9, dtype=self.dtype, name=f"joint_bn{i}"),
+                    nn.BatchNorm(momentum=0.9, dtype=jnp.float32, name=f"joint_bn{i}"),
                 )
                 for i, ch in enumerate(c.joint_conv_dim)
             ]

@@ -42,9 +42,13 @@ HEAD_CHANNELS = (32, 64, 128, 256)  # ref HRnet.py:343 (x4 bottleneck expansion)
 
 
 def _bn(train, dtype, name):
+    # BN statistics always compute in f32: bf16 E[x^2]-E[x]^2 can go
+    # negative and rsqrt then NaNs the whole step (dtype arg kept for
+    # signature stability; convs remain in the model compute dtype)
+    del dtype
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,
-        dtype=dtype, name=name,
+        dtype=jnp.float32, name=name,
     )
 
 
