@@ -176,17 +176,44 @@ class Sim2RealTrainer:
             self.model, self.tx, jax.random.PRNGKey(0),
             (jnp.zeros((B, S, S, 3)), jnp.zeros((B, S, S, 3)), jnp.ones((B,)), K0),
         )
-        # load synth-pretrained weights (ref train_sim2real.py:85-99)
+        # load synth-pretrained weights (ref train_sim2real.py:85-99):
+        # an orbax dir (ours), a torch .pk (reference zoo), or absent (warn)
         if cfg.pretrained_weight_on_synth:
-            pretrain_dir = os.path.join("experiments", os.path.dirname(cfg.pretrained_weight_on_synth))
-            # tolerant: either an orbax dir or skip
             path = cfg.pretrained_weight_on_synth
+            if not os.path.exists(path):
+                path = os.path.join("experiments", path)
             if os.path.isdir(path):
                 import orbax.checkpoint as ocp
 
                 state = ocp.StandardCheckpointer().restore(
                     os.path.abspath(path), target=jax.device_get(state)
                 )
+                print(f"loaded synth-pretrained weights from {path}")
+            elif os.path.isfile(path):
+                from ..utils.checkpoint_io import (
+                    import_state_dict,
+                    load_torch_state_dict,
+                    translate_fullnet_key,
+                )
+
+                sd = load_torch_state_dict(path)
+                variables, report = import_state_dict(
+                    sd,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    lambda k: translate_fullnet_key(
+                        k, cfg.backbone_name.startswith("resnet")
+                    ),
+                )
+                state = state.replace(
+                    params=variables["params"],
+                    batch_stats=variables["batch_stats"],
+                )
+                print(
+                    f"imported {report['loaded']} tensors from {path} "
+                    f"(skipped {len(report['skipped'])})"
+                )
+            else:
+                print(f"WARNING: pretrained weights not found at {path}")
 
         # simple eval reuse: validate on the same real set via full pipeline
         eval_trainer = Trainer.__new__(Trainer)

@@ -29,9 +29,11 @@ IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
 
 
 def _bn(train, dtype, name):
-    # BN statistics always compute in f32: bf16 E[x^2]-E[x]^2 can go
-    # negative and rsqrt then NaNs the whole step (dtype arg kept for
-    # signature stability; convs remain in the model compute dtype)
+    # BN pinned to f32 end-to-end: although flax computes the statistics
+    # in f32 regardless, running the affine/output in bf16 empirically
+    # NaN'd the first 256^2 bf16 train step on the TPU runtime (round-1
+    # verification); f32 BN is the known-good configuration. Revisit with
+    # a train-only-f32 variant if the ~19% inference cost matters.
     del dtype
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,

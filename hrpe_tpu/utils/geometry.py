@@ -234,10 +234,16 @@ def transform_points(T: Array, pts: Array) -> Array:
 def project_points(K: Array, pts3d: Array) -> Array:
     """Pinhole projection: K (..., 3, 3), pts3d (..., N, 3) -> (..., N, 2).
 
-    Ref parity: transforms.py:11-21 (hnormalized of K @ X).
+    Ref parity: transforms.py:11-21 (hnormalized of K @ X). The depth is
+    sign-preservingly clamped away from zero: with randomly-initialized
+    networks, predicted keypoints can cross the camera plane and an
+    unguarded division produces inf/NaN that poisons the whole training
+    step via the 2D reprojection losses.
     """
     p = jnp.einsum("...ij,...nj->...ni", K, pts3d)
-    return p[..., :2] / p[..., 2:3]
+    z = p[..., 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+    return p[..., :2] / z_safe
 
 
 def inv_K_from_fc(fx: Array, fy: Array, cx: Array, cy: Array) -> Array:
