@@ -382,6 +382,16 @@ class DreamDataset:
             rgb, K_orig.copy(), kp3d, kp2d.copy(), bbox,
             bbox_strict, K_orig, self.rootnet_resize_hw,
         )
+        # rootnet-only horizontal flip (ref dream.py:437-439 applies
+        # FlipAugmentation to the root view only)
+        if self.flip and rng.random_sample() <= 0.5:
+            img_f, K_f, kp_f = A.flip_image_K(
+                root["images"], root["K"].astype(np.float64),
+                root["keypoints_2d"].astype(np.float64), self.flip_pairs,
+            )
+            root["images"] = img_f
+            root["K"] = K_f.astype(np.float32)
+            root["keypoints_2d"] = kp_f.astype(np.float32)
         other = self._view(
             rgb, K_orig.copy(), kp3d, kp2d.copy(), bbox,
             bbox_strict, K_orig, self.other_resize_hw,

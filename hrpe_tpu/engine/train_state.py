@@ -175,6 +175,14 @@ def make_full_net_eval(cfg, model, robot, use_pnp: bool) -> Callable:
             reference_keypoint_id=cfg.reference_keypoint_id,
         )
         loss_dict["rotation_diff"] = L.rotation_diff_metric(out["rot"], gt_rot)
+        # mean per-axis euler-angle error (ref scripts/test.py:182-192)
+        from ..utils.geometry import euler_from_rotmat
+
+        eul_p = euler_from_rotmat(L.rot_to_mat(out["rot"]))
+        eul_g = euler_from_rotmat(L.rot_to_mat(gt_rot))
+        d = jnp.abs(eul_p - eul_g)
+        d = jnp.minimum(d, 2 * jnp.pi - d)  # wrap-around
+        loss_dict["euler_err"] = jnp.mean(d)
         return loss_dict, m_fk, m_int, out
 
     return evaluate

@@ -65,7 +65,7 @@ class RootNet(nn.Module):
                 )(y)
                 y = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9,
-                    dtype=jnp.float32, name=f"deconv_bn{i}",
+                    dtype=(jnp.float32 if train else self.dtype), name=f"deconv_bn{i}",
                 )(y)
                 y = nn.relu(y)
             y = nn.Conv(1, (1, 1), dtype=self.dtype, name="xy_conv")(y)
@@ -79,13 +79,13 @@ class RootNet(nn.Module):
 
         if self.add_fc:
             # bottleneck MLP with residual (ref depth_net.py:44-54,114-120)
-            f1 = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32, name="fc_bn1")(
+            f1 = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=(jnp.float32 if train else self.dtype), name="fc_bn1")(
                 nn.Dense(inplanes // 2, dtype=self.dtype, name="fc1")(feat)))
-            f2 = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32, name="fc_bn2")(
+            f2 = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=(jnp.float32 if train else self.dtype), name="fc_bn2")(
                 nn.Dense(inplanes // 4, dtype=self.dtype, name="fc2")(f1)))
-            f3 = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32, name="fc_bn3")(
+            f3 = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=(jnp.float32 if train else self.dtype), name="fc_bn3")(
                 nn.Dense(inplanes // 4, dtype=self.dtype, name="fc3")(f2)))
-            f4 = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32, name="fc_bn4")(
+            f4 = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=(jnp.float32 if train else self.dtype), name="fc_bn4")(
                 nn.Dense(inplanes // 2, dtype=self.dtype, name="fc4")(f3)))
             f5 = nn.Dense(inplanes, dtype=self.dtype, name="fc5")(f4)
             feat = feat + f5

@@ -42,15 +42,13 @@ HEAD_CHANNELS = (32, 64, 128, 256)  # ref HRnet.py:343 (x4 bottleneck expansion)
 
 
 def _bn(train, dtype, name):
-    # BN pinned to f32 end-to-end: although flax computes the statistics
-    # in f32 regardless, running the affine/output in bf16 empirically
-    # NaN'd the first 256^2 bf16 train step on the TPU runtime (round-1
-    # verification); f32 BN is the known-good configuration. Revisit with
-    # a train-only-f32 variant if the ~19% inference cost matters.
-    del dtype
+    # BN runs in f32 during TRAINING: although flax computes statistics in
+    # f32 regardless, a bf16 BN affine in the train step empirically NaN'd
+    # the first 256^2 bf16 step on the TPU runtime (round-1 verification).
+    # Inference BN is a per-channel affine — safe in the compute dtype.
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,
-        dtype=jnp.float32, name=name,
+        dtype=(jnp.float32 if train else dtype), name=name,
     )
 
 

@@ -48,7 +48,7 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=(jnp.float32 if train else self.dtype),
             name="bn",
         )(x)
 
@@ -75,10 +75,10 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool):
         residual = x
         y = conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn1")(y)
         y = nn.relu(y)
         y = conv(self.planes, 3, 1, "conv2", self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn2")(y)
         if self.downsample:
             residual = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
@@ -86,7 +86,7 @@ class BasicBlock(nn.Module):
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name="down_bn",
+                dtype=(jnp.float32 if train else self.dtype), name="down_bn",
             )(residual)
         return nn.relu(y + residual)
 
@@ -102,7 +102,7 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool):
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn1")(y)
         y = nn.relu(y)
         if self.dilation > 1:
             y = nn.Conv(
@@ -113,10 +113,10 @@ class Bottleneck(nn.Module):
             )(y)
         else:
             y = conv(self.planes, 3, self.stride, "conv2", self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn3")(y)
         if self.downsample:
             residual = nn.Conv(
                 self.planes * 4, (1, 1), strides=(self.stride, self.stride),
@@ -124,7 +124,7 @@ class Bottleneck(nn.Module):
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name="down_bn",
+                dtype=(jnp.float32 if train else self.dtype), name="down_bn",
             )(residual)
         return nn.relu(y + residual)
 
@@ -145,7 +145,7 @@ class ResNet(nn.Module):
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
