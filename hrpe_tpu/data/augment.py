@@ -83,6 +83,19 @@ def pil_blur(rgb: np.ndarray, rng, p=0.4, kmin=1, kmax=3) -> np.ndarray:
     return rgb
 
 
+def background_replace(rgb: np.ndarray, mask: np.ndarray, bg: np.ndarray, rng, p=1.0) -> np.ndarray:
+    """Replace pixels outside the foreground mask with a background image
+    (ref augmentations.py:145-163 BackgroundAugmentation)."""
+    if rng.random_sample() > p:
+        return rgb
+    h, w = rgb.shape[:2]
+    if bg.shape[:2] != (h, w):
+        bg = np.asarray(Image.fromarray(bg).resize((w, h)))
+    out = rgb.copy()
+    out[mask == 0] = bg[mask == 0]
+    return out
+
+
 def grayscale(rgb: np.ndarray, rng, p=0.3) -> np.ndarray:
     if rng.random_sample() <= p:
         g = (

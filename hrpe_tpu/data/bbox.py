@@ -97,6 +97,44 @@ def square_pad_crop(image, bbox, K, keypoints_2d):
     return canvas, K2, kp
 
 
+def process_truncation(image, kp2d, K, max_pad=(120, 120, 120, 120),
+                       frame_wh=(640, 480)):
+    """Grow the canvas when the robot is truncated by the frame edges so
+    the crop can still center it (ref roboutils.py:180-212). Returns
+    (new_image, new_kp2d, new_K) — unchanged when nothing is truncated.
+    """
+    W, H = frame_wh
+    tight = keypoint_bbox(kp2d)
+    x1, y1, x2, y2 = tight
+    dl = int(min(max_pad[0], max(0, -x1)))
+    dt = int(min(max_pad[1], max(0, -y1)))
+    dr = int(min(max_pad[2], max(0, x2 - W)))
+    db = int(min(max_pad[3], max(0, y2 - H)))
+    if dl == dt == dr == db == 0:
+        return image, kp2d, K
+    new_img = np.zeros((H + dt + db, W + dl + dr, 3), image.dtype)
+    new_img[dt : dt + H, dl : dl + W] = image
+    kp = np.asarray(kp2d, np.float64).copy()
+    kp[:, 0] += dl
+    kp[:, 1] += dt
+    K2 = np.asarray(K, np.float64).copy()
+    K2[0, 2] += dl
+    K2[1, 2] += dt
+    return new_img, kp, K2
+
+
+def process_padding(image, kp2d, K, pad=30):
+    """Uniform border padding with K/keypoint shift (ref roboutils.py:214-246)."""
+    h, w = image.shape[:2]
+    new_img = np.zeros((h + 2 * pad, w + 2 * pad, 3), image.dtype)
+    new_img[pad : pad + h, pad : pad + w] = image
+    kp = np.asarray(kp2d, np.float64).copy() + pad
+    K2 = np.asarray(K, np.float64).copy()
+    K2[0, 2] += pad
+    K2[1, 2] += pad
+    return new_img, kp, K2
+
+
 def bbox_through_K(bbox, K_old_inv, K_new, out_wh):
     """Map a bbox between camera models via ray reprojection.
 

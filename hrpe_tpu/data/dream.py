@@ -130,8 +130,12 @@ class DreamDataset:
         robot: str | None = None,
         seed: int = 0,
         include_original: bool = False,
+        process_truncation: bool = False,
+        padding: bool = False,
     ):
         self.include_original = include_original
+        self.process_truncation = process_truncation
+        self.padding = padding
         self.base_dir = Path(base_dir)
         self.ds_name = os.path.basename(str(base_dir).rstrip("/"))
         self.robot = robot or detect_robot(base_dir)
@@ -350,6 +354,15 @@ class DreamDataset:
         K_orig = self._K_for(w, h)
         ann = self._load_annotation(frame)
         kp2d, kp3d = ann["kp2d"], ann["kp3d"]
+
+        if self.process_truncation:
+            # canvas growth for frame-truncated robots (ref dream.py:337
+            # via roboutils process_truncation)
+            rgb, kp2d, K_orig = BB.process_truncation(rgb, kp2d, K_orig)
+            h, w = rgb.shape[:2]
+        if self.padding:
+            rgb, kp2d, K_orig = BB.process_padding(rgb, kp2d, K_orig, pad=30)
+            h, w = rgb.shape[:2]
 
         tight = BB.keypoint_bbox(kp2d)
         bbox = BB.expand_bbox(

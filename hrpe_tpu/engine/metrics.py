@@ -123,6 +123,25 @@ def summary_add_pck(dis3d: np.ndarray, dis2d: np.ndarray) -> Dict[str, float]:
     return summary
 
 
+def draw_depth_figure(depth_errors, gt_depths, save_path, title=""):
+    """Root-depth-error vs gt-depth scatter (ref metrics.py:216-234)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.scatter(np.asarray(gt_depths), np.asarray(depth_errors), s=4)
+    ax.set_xlim(0, 2.0)
+    ax.set_ylim(0, 0.2)
+    ax.set_xlabel("gt root depth (m)")
+    ax.set_ylabel("root depth error (m)")
+    ax.set_title(title or "root depth error vs gt depth")
+    fig.savefig(save_path, dpi=100)
+    plt.close(fig)
+    return save_path
+
+
 def draw_add_curve(dis3d, save_path, title="ADD curve", auc_value=None):
     """ADD threshold curve + distance histograms (ref metrics.py:165-213)."""
     import matplotlib

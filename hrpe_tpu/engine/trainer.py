@@ -49,7 +49,7 @@ def get_dataloaders(cfg) -> tuple:
     hw = (int(cfg.rootnet_image_size), int(cfg.rootnet_image_size))
     ohw = (int(cfg.other_image_size), int(cfg.other_image_size))
 
-    def make_ds(path, train):
+    def make_ds(path, train, truncation=False):
         return DreamDataset(
             path,
             rootnet_resize_hw=hw,
@@ -58,14 +58,25 @@ def get_dataloaders(cfg) -> tuple:
             rgb_augmentation=cfg.other_aug if train else False,
             occlusion_augmentation=cfg.occlusion if train else False,
             occlu_p=cfg.occlu_p,
+            flip=cfg.rootnet_flip if train else False,
+            padding=cfg.padding if train else False,
+            process_truncation=truncation,
             robot=robot,
         )
 
     ds_train = make_ds(train_name, True)
+    if getattr(cfg, "resample", False) and os.path.exists("unit_test/z_weights.npy"):
+        # depth-weighted resampling (ref train_depthnet.py:89-92)
+        from .loader import WeightedSampler
+
+        w = np.load("unit_test/z_weights.npy")
+        sampler = WeightedSampler(w[: len(ds_train)], cfg.epoch_size)
+    else:
+        sampler = PartialSampler(len(ds_train), cfg.epoch_size)
     train_loader = DataLoader(
         ds_train,
         cfg.batch_size,
-        sampler=PartialSampler(len(ds_train), cfg.epoch_size),
+        sampler=sampler,
         num_workers=cfg.n_dataloader_workers,
     )
     test_loaders = {}
@@ -92,8 +103,10 @@ def get_dataloaders(cfg) -> tuple:
         for short, rel in real_map.items():
             path = train_name.replace("synthetic/panda_synth_train_dr", rel)
             if os.path.isdir(path):
+                # real sets optionally fix frame truncation (ref utils.py:127)
                 test_loaders[short] = DataLoader(
-                    make_ds(path, False), cfg.batch_size, shuffle=False,
+                    make_ds(path, False, truncation=cfg.fix_truncation),
+                    cfg.batch_size, shuffle=False,
                     num_workers=cfg.n_dataloader_workers,
                 )
     return train_loader, test_loaders
@@ -157,7 +170,43 @@ class Trainer:
             )
         else:
             inputs = (jnp.zeros((B, S, S, 3)), jnp.ones((B,)))
-        return create_train_state(self.model, self.tx, jax.random.PRNGKey(0), inputs)
+        state = create_train_state(self.model, self.tx, jax.random.PRNGKey(0), inputs)
+
+        # pretrained-rootnet chaining (ref full_net.py:487-500: depthnet
+        # .pk with 'backbone.' keys remapped into 'rootnet_backbone.')
+        if (
+            self.pipeline == "full"
+            and cfg.pretrained_rootnet
+            and os.path.isfile(cfg.pretrained_rootnet)
+        ):
+            from ..utils.checkpoint_io import (
+                import_state_dict,
+                load_torch_state_dict,
+                translate_fullnet_key,
+            )
+
+            sd = load_torch_state_dict(cfg.pretrained_rootnet)
+            variables, report = import_state_dict(
+                sd,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                lambda k: translate_fullnet_key(
+                    k, cfg.backbone_name.startswith("resnet")
+                ),
+                remap_prefix=("backbone.", "rootnet_backbone."),
+            )
+            state = state.replace(
+                params=variables["params"], batch_stats=variables["batch_stats"]
+            )
+            print(
+                f"loaded pretrained rootnet {cfg.pretrained_rootnet}: "
+                f"{report['loaded']} tensors"
+            )
+        elif self.pipeline == "full" and cfg.pretrained_rootnet:
+            print(
+                f"pretrained rootnet not found at {cfg.pretrained_rootnet}; "
+                "training depth head from scratch"
+            )
+        return state
 
     # ------------------------------------------------------------------
     def validate(self, state, loader, dsname: str, epoch: int, writer):
@@ -277,4 +326,17 @@ class Trainer:
                     bests[name] = ckpt.save_if_best(
                         name, state, epoch, auc_scores[name], bests[name]
                     )
+            # weighted 'allreal' composite for the depthnet pipeline
+            # (ref train_depthnet.py:455-527: orb/realsense x1.0, others x0.4)
+            real_w = {"orb": 1.0, "realsense": 1.0, "azure": 0.4, "kinect": 0.4}
+            if self.pipeline == "depthnet" and any(
+                n in auc_scores for n in real_w
+            ):
+                composite = sum(
+                    real_w[n] * auc_scores[n] for n in real_w if n in auc_scores
+                )
+                bests["allreal"] = ckpt.save_if_best(
+                    "allreal", state, epoch, composite,
+                    bests.get("allreal", -np.inf),
+                )
         return state
