@@ -21,6 +21,7 @@ BASELINE_IPS = 5000.0
 
 def main():
     from hrpe_tpu.models import FullNetConfig, build_full_net
+    from hrpe_tpu.models.full_net import pack_full_net_variables
 
     cfg = FullNetConfig(
         robot_type="panda",
@@ -28,7 +29,12 @@ def main():
         rootnet_backbone_name="hrnet32",
         image_size=256,
     )
-    model = build_full_net(cfg, dtype=jnp.bfloat16)
+    # plain layout: A/B measurement showed the space-to-depth packed twin
+    # (models/hrnet_packed.py) is exact but NETS OUT SLOWER in the full
+    # program on this chip (131 vs 116 ms/batch) — at 32x32 packed maps
+    # the matmul M-dim shrinks 4x, erasing the lane-utilization gain.
+    plain = build_full_net(cfg, dtype=jnp.bfloat16)
+    model = plain
 
     rng = np.random.RandomState(0)
     reg = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
@@ -41,7 +47,7 @@ def main():
         ),
         (BATCH, 1, 1),
     )
-    variables = jax.jit(lambda r: model.init(r, reg, root, k, K, train=False))(
+    variables = jax.jit(lambda r: plain.init(r, reg, root, k, K, train=False))(
         jax.random.PRNGKey(0)
     )
 

@@ -98,6 +98,16 @@ jax.tree_util.register_pytree_node(
 class RootNetwithRegInt(nn.Module):
     cfg: FullNetConfig
     dtype: Any = jnp.float32
+    # inference-only: space-to-depth packed HRNet branches (~1.6x on the
+    # hrnet trunk); requires variables converted by pack_full_net_variables
+    packed_inference: bool = False
+
+    def _hrnet_cls(self):
+        if self.packed_inference:
+            from .hrnet_packed import HRNetPacked
+
+            return HRNetPacked
+        return HRNet
 
     def setup(self):
         c = self.cfg
@@ -108,7 +118,7 @@ class RootNetwithRegInt(nn.Module):
 
         # --- rootnet branch -------------------------------------------------
         if c.rootnet_backbone_name in ("hrnet", "hrnet32"):
-            self.rootnet_backbone = HRNet(
+            self.rootnet_backbone = self._hrnet_cls()(
                 32, c.nkpt, depth_dim, generate_hm=False, generate_feat=True,
                 dtype=self.dtype, name="rootnet_backbone",
             )
@@ -129,7 +139,7 @@ class RootNetwithRegInt(nn.Module):
 
         # --- regression branch ---------------------------------------------
         if c.backbone_name in ("hrnet", "hrnet32"):
-            self.reg_backbone = HRNet(
+            self.reg_backbone = self._hrnet_cls()(
                 32, c.nkpt, depth_dim, generate_hm=True, generate_feat=True,
                 dtype=self.dtype, name="reg_backbone",
             )
@@ -325,11 +335,26 @@ class RootNetwithRegInt(nn.Module):
         return out
 
 
-def build_full_net(cfg: FullNetConfig, dtype=jnp.float32) -> RootNetwithRegInt:
+def build_full_net(
+    cfg: FullNetConfig, dtype=jnp.float32, packed_inference: bool = False
+) -> RootNetwithRegInt:
     """Constructor mirroring get_rootNetwithRegInt_model (full_net.py:470-505).
 
     Pretrained-rootnet chaining (the torch `backbone -> rootnet_backbone`
     key remap, :487-500) is handled by hrpe_tpu.utils.checkpoint_io when
-    importing torch checkpoints.
+    importing torch checkpoints. `packed_inference=True` builds the
+    serving twin with space-to-depth packed HRNet branches; convert
+    trained variables with `pack_full_net_variables`.
     """
-    return RootNetwithRegInt(cfg, dtype)
+    return RootNetwithRegInt(cfg, dtype, packed_inference)
+
+
+def pack_full_net_variables(variables: dict) -> dict:
+    """Convert trained full-net variables for the packed-inference twin.
+
+    Repacks every HRNet narrow-branch block found anywhere in the tree
+    (rootnet_backbone and/or reg_backbone); resnet subtrees pass through.
+    """
+    from .hrnet_packed import pack_hrnet_variables
+
+    return pack_hrnet_variables(variables, width=32)
