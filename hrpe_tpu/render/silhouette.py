@@ -116,6 +116,11 @@ def soft_silhouette(
     tri_uv = tri_uv.reshape(n_chunks, chunk, 3, 2)
     tri_ok = tri_ok.reshape(n_chunks, chunk)
 
+    # remat: without it the scan's backward saves the (pixels x chunk)
+    # coverage tensor for EVERY chunk step — O(pixels x total_faces) HBM
+    # (OOMs the sim2real step); recomputing coverage in the backward keeps
+    # memory at O(pixels x chunk)
+    @jax.checkpoint
     def body(acc, args):
         tris, oks = args
         logs = jax.vmap(lambda t, ok: _face_coverage(pix, t, ok, sigma))(tris, oks)

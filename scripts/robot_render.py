@@ -44,6 +44,15 @@ def main():
     rm = RobotMesh(robot, default_link_meshes(robot))
     q = jnp.asarray(s["jointpose"])[None]
     TCO = jnp.asarray(s["TCO"])[None]
+    # the dofbot pickle dialect's TCO translation is the link1 (root
+    # keypoint) position — re-express as base->camera for mesh posing
+    # (ref urdf_robot.py:293-309 renders at a specific root)
+    root = cfg.reference_keypoint_id
+    if root != 0:
+        from hrpe_tpu.utils.geometry import rotmat_to_rot6d
+
+        r6 = rotmat_to_rot6d(TCO[:, :3, :3])
+        TCO = robot.root_to_base_pose(q, r6, TCO[:, :3, 3], root)
     verts = rm.posed_verts(q, TCO)
     H, W = s["images_original"].shape[:2]
     mask = np.asarray(
