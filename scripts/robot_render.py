@@ -55,9 +55,11 @@ def main():
         TCO = robot.root_to_base_pose(q, r6, TCO[:, :3, 3], root)
     verts = rm.posed_verts(q, TCO)
     H, W = s["images_original"].shape[:2]
+    K_half = np.asarray(s["K_original"], np.float64) * 0.5  # render at 0.5x
+    K_half[2, 2] = 1.0
     mask = np.asarray(
         soft_silhouette(
-            verts[0], rm.faces, jnp.asarray(s["K_original"]), (H // 2, W // 2),
+            verts[0], rm.faces, jnp.asarray(K_half), (H // 2, W // 2),
             sigma=1e-4,
         )
     )
