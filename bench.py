@@ -21,7 +21,6 @@ BASELINE_IPS = 5000.0
 
 def main():
     from hrpe_tpu.models import FullNetConfig, build_full_net
-    from hrpe_tpu.models.full_net import pack_full_net_variables
 
     cfg = FullNetConfig(
         robot_type="panda",

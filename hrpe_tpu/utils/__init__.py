@@ -1,1 +1,1 @@
-from . import geometry, transforms  # noqa: F401
+from . import checkpoint_io, geometry, profiling, transforms, vis  # noqa: F401

@@ -292,12 +292,17 @@ def import_state_dict(
     translate,
     strict: bool = False,
     remap_prefix: Tuple[str, str] | None = None,
+    key_filter=None,
 ):
     """Merge a torch state_dict into a flax variables tree.
 
     translate: key -> (collection, path_tuple, kind) or None.
     remap_prefix: e.g. ('backbone.', 'rootnet_backbone.') for depthnet
     chaining (ref full_net.py:492-498).
+    key_filter: optional predicate on the torch key; keys failing it are
+    skipped silently — the equivalent of the reference's
+    PRETRAINED_LAYERS filter for ImageNet backbone init
+    (HRnet.py:572-603, hrnet_w32.yaml:40-52).
     Returns (new_variables, report dict).
     """
     import flax
@@ -309,6 +314,8 @@ def import_state_dict(
 
     loaded, skipped, mismatched = [], [], []
     for key, val in torch_sd.items():
+        if key_filter is not None and not key_filter(key):
+            continue
         if remap_prefix and key.startswith(remap_prefix[0]):
             key = remap_prefix[1] + key[len(remap_prefix[0]):]
         tr = translate(key)

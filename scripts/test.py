@@ -116,6 +116,17 @@ def main():
     else:
         lines.append(f"root depth L1 (m): {float(np.mean(alldis['deptherror'])):.6f}")
 
+    if pipeline == "full" and len(alldis["dis3d"]):
+        from hrpe_tpu.engine.metrics import draw_add_curve
+
+        draw_add_curve(
+            alldis["dis3d"],
+            os.path.join(result_dir, "add_distribution_curve.jpg"),
+            title=f"ADD curve — {os.path.basename(ds_path)}",
+            auc_value=summary["ADD/AUC"],
+        )
+        lines.append("wrote result/add_distribution_curve.jpg")
+
     text = "\n".join(lines)
     with open(os.path.join(result_dir, "summary.txt"), "w") as f:
         f.write(text + "\n")

@@ -55,6 +55,21 @@ def test_full_decode_fixroot_and_xyz():
     )
 
 
+def test_gumbel_sampling_decode():
+    # stochastic decode (ref 'sampling' norm): finite, in range, and
+    # converging to the softmax decode as tau -> large effective scale
+    from hrpe_tpu.models.integral import gumbel_heatmap_expectations
+
+    rng = np.random.RandomState(3)
+    hm = jnp.asarray(rng.randn(2, 3, 4 * 4 * 4).astype(np.float32) * 5)
+    out = gumbel_heatmap_expectations(hm, (4, 4, 4), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out)).all()
+    assert (np.abs(np.asarray(out)) <= 0.5 + 1e-6).all()
+    # two different rngs give different (stochastic) decodes
+    out2 = gumbel_heatmap_expectations(hm, (4, 4, 4), jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+
+
 def test_joint_decode_bounds():
     rng = np.random.RandomState(2)
     hm = jnp.asarray(rng.randn(4, 6, 32).astype(np.float32) * 3)
