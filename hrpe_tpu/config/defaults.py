@@ -51,6 +51,9 @@ class Config:
         default_factory=lambda: [120, 120, 120, 120]
     )
     rootnet_flip: bool = False
+    rootnet_rotate: bool = False  # ref dream.py:64 `rotate` (call site disabled there)
+    blur_augmentation: bool = False
+    grayscale_augmentation: bool = False
 
     # pipeline selection
     use_rootnet: bool = False

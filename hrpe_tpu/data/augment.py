@@ -83,19 +83,6 @@ def pil_blur(rgb: np.ndarray, rng, p=0.4, kmin=1, kmax=3) -> np.ndarray:
     return rgb
 
 
-def background_replace(rgb: np.ndarray, mask: np.ndarray, bg: np.ndarray, rng, p=1.0) -> np.ndarray:
-    """Replace pixels outside the foreground mask with a background image
-    (ref augmentations.py:145-163 BackgroundAugmentation)."""
-    if rng.random_sample() > p:
-        return rgb
-    h, w = rgb.shape[:2]
-    if bg.shape[:2] != (h, w):
-        bg = np.asarray(Image.fromarray(bg).resize((w, h)))
-    out = rgb.copy()
-    out[mask == 0] = bg[mask == 0]
-    return out
-
-
 def grayscale(rgb: np.ndarray, rng, p=0.3) -> np.ndarray:
     if rng.random_sample() <= p:
         g = (
@@ -147,3 +134,31 @@ def flip_image_K(rgb, K, keypoints_2d, flip_pairs=None):
     K[0, 0] = -K[0, 0]
     K[0, 2] = w - 1 - K[0, 2]
     return rgb, K, kp
+
+
+def rotate_90(rgb, K, kp2d, kp3d, bboxes=()):
+    """90-degree rotation of the full observation (ref
+    augmentations.py:327-357 RotationAugmentation, reproduced exactly
+    incl. its `width - y + 1` 2D convention): image via
+    new[j][h-1-i] = old[i][j], principal point swapped in K, keypoints_3d
+    rotated by Rz(+90deg) (depth invariant), 2D keypoints via
+    rotate_joints_2d (augmentations.py:321-325). `bboxes` are rotated with
+    the same convention. Returns (rgb, K, kp2d, kp3d, rotated_bboxes).
+    """
+    h = rgb.shape[0]
+    out = np.ascontiguousarray(np.rot90(rgb, k=-1))
+    K2 = K.copy()
+    K2[0, 2], K2[1, 2] = K[1, 2], K[0, 2]
+    kp2d_r = kp2d.copy()
+    kp2d_r[:, 1] = kp2d[:, 0]
+    kp2d_r[:, 0] = h - kp2d[:, 1] + 1
+    Rz = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    kp3d_r = kp3d @ Rz.T
+    rb = []
+    for b in bboxes:
+        if b is None:
+            rb.append(None)
+            continue
+        x1, y1, x2, y2 = b[:4]
+        rb.append(np.array([h - y2 + 1, x1, h - y1 + 1, x2], dtype=np.float64))
+    return out, K2, kp2d_r, kp3d_r, tuple(rb)

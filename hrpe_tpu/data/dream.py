@@ -125,6 +125,9 @@ class DreamDataset:
         occlusion_augmentation=True,
         occlu_p=0.5,
         flip=False,
+        rotate=False,
+        blur_augmentation=False,
+        grayscale_augmentation=False,
         strict_crop=True,
         extend_ratio=(0.2, 0.13),
         robot: str | None = None,
@@ -146,6 +149,15 @@ class DreamDataset:
         self.occlusion_augmentation = occlusion_augmentation
         self.occlu_p = occlu_p
         self.flip = flip
+        # rootnet-view 90-degree rotation (ref dream.py:64,426-428: the
+        # `rotate` flag exists but its call site is `pass` — wired here
+        # for real, default off matching the reference's effective state)
+        self.rotate = rotate
+        # GrayScale / PillowBlur exist in the reference's augmentations
+        # (augmentations.py) but are never added to rgb_augmentations
+        # (const.py:5-10); exposed here behind explicit flags, default off
+        self.blur_augmentation = blur_augmentation
+        self.grayscale_augmentation = grayscale_augmentation
         self.strict_crop = strict_crop
         self.extend_ratio = extend_ratio
         self.synthetic = not (
@@ -390,11 +402,25 @@ class DreamDataset:
             rgb = A.apply_occlusion(rgb, bbox, rng)
         if self.rgb_augmentation:
             rgb = A.pil_photometric(rgb, rng, p=0.3)
+        if self.blur_augmentation:
+            rgb = A.pil_blur(rgb, rng, p=0.4)
+        if self.grayscale_augmentation:
+            rgb = A.grayscale(rgb, rng, p=0.3)
 
-        root = self._view(
-            rgb, K_orig.copy(), kp3d, kp2d.copy(), bbox,
-            bbox_strict, K_orig, self.rootnet_resize_hw,
-        )
+        # rootnet-view rotation (ref augmentations.py:327-357), p=0.5
+        if self.rotate and rng.random_sample() <= 0.5:
+            rgb_r, K_r, kp2d_r, kp3d_r, (bbox_r, bbox_strict_r) = A.rotate_90(
+                rgb, K_orig, kp2d, kp3d, (bbox, bbox_strict)
+            )
+            root = self._view(
+                rgb_r, K_r.copy(), kp3d_r, kp2d_r, bbox_r,
+                bbox_strict_r, K_r, self.rootnet_resize_hw,
+            )
+        else:
+            root = self._view(
+                rgb, K_orig.copy(), kp3d, kp2d.copy(), bbox,
+                bbox_strict, K_orig, self.rootnet_resize_hw,
+            )
         # rootnet-only horizontal flip (ref dream.py:437-439 applies
         # FlipAugmentation to the root view only)
         if self.flip and rng.random_sample() <= 0.5:
@@ -452,6 +478,8 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
         "bbox_strict_bounded_original": stack("bbox_strict_bounded_original"),
         "root_images": stack("root/images"),
         "root_K": stack("root/K"),
+        "root_keypoints_3d": stack("root/keypoints_3d"),
+        "root_valid_mask_crop": stack("root/valid_mask_crop"),
         "root_bbox_strict_bounded": stack("root/bbox_strict_bounded"),
         "root_bbox_gt2d_extended": stack("root/bbox_gt2d_extended"),
         "other_images": stack("other/images"),

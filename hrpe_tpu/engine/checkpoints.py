@@ -68,11 +68,60 @@ class CheckpointManager:
         path = self._path(tag)
         return self._ckptr.restore(path, target=jax.device_get(target_state))
 
-    def resume(self, target_state):
-        """Resume from best_dr; returns (state, start_epoch, best_scores).
+    def save_latest(self, state, epoch: int, bests: Dict[str, float]):
+        """Save the end-of-epoch state unconditionally (epoch-guarded), so
+        a preempted run resumes from the LAST epoch, not the last best
+        (improves on the reference's best-only resume, utils.py:191-220 —
+        VERDICT r1 #8)."""
+        meta = self._read_latest_meta()
+        if meta is not None and epoch <= meta["epoch"]:
+            return
+        path = os.path.join(self.ckpt_dir, "latest")
+        if os.path.exists(path):
+            import shutil
 
-        Ref parity: utils.py:191-220 (per-real-set best watermarks).
+            shutil.rmtree(path)
+        self._ckptr.save(path, jax.device_get(state))
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(self.ckpt_dir, "latest.meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "score": 0.0, "tag": "latest",
+                       "bests": {k: float(v) for k, v in bests.items()}}, f)
+
+    def _read_latest_meta(self):
+        p = os.path.join(self.ckpt_dir, "latest.meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def resume_tag(self, tag: str, target_state):
+        """Resume from an arbitrary best-ckpt tag (sim2real resumes from
+        its best-on-real checkpoint, ref train_sim2real.py:108-124).
+        Returns (state, start_epoch, best_score)."""
+        meta = self.read_meta(tag)
+        if meta is None:
+            return target_state, 0, -float("inf")
+        state = self.restore(tag, target_state)
+        return state, meta["epoch"] + 1, meta["score"]
+
+    def resume(self, target_state):
+        """Resume from the LATEST end-of-epoch checkpoint when present,
+        falling back to best_dr. Returns (state, start_epoch, best_scores).
+
+        Ref parity: utils.py:191-220 (per-real-set best watermarks), plus
+        last-state resume the reference lacks.
         """
+        latest = self._read_latest_meta()
+        if latest is not None:
+            state = self._ckptr.restore(
+                os.path.join(self.ckpt_dir, "latest"),
+                target=jax.device_get(target_state),
+            )
+            bests = {
+                "dr": -float("inf"), **{k: -float("inf") for k in REAL_SETS}
+            }
+            bests.update(latest.get("bests", {}))
+            return state, latest["epoch"] + 1, bests
         meta = self.read_meta("dr")
         if meta is None:
             return target_state, 0, {"dr": 0.0, **{k: 0.0 for k in REAL_SETS}}

@@ -212,10 +212,24 @@ def apply_joint_valid_mask(cfg, gt_pose: Array, valid_mask: Array) -> Array:
     return gt_pose * joint_valid + mean_pose * (1.0 - joint_valid)
 
 
-def depthnet_loss(cfg, pred_depth: Array, gt_depth: Array):
-    """DepthNet pipeline loss (ref train_depthnet.py:285-306)."""
+def depthnet_loss(cfg, pred_depth: Array, gt_depth: Array,
+                  pred_xy: Array | None = None, gt_xy: Array | None = None,
+                  xy_mask: Array | None = None):
+    """DepthNet pipeline loss (ref train_depthnet.py:285-306).
+
+    With the xy branch enabled the reference ADDS an L1/MSE term between
+    the soft-argmax coords and the root keypoint's camera-frame xy,
+    masked by the root-view in-frame validity of the reference keypoint
+    (train_depthnet.py:285,293-299).
+    """
     loss = _elementwise(cfg.depth_loss_func, pred_depth, gt_depth)
-    return cfg.rootnet_depth_loss_weight * loss, {"loss_depth": loss}
+    out = {"loss_depth": loss}
+    total = cfg.rootnet_depth_loss_weight * loss
+    if pred_xy is not None:
+        loss_xy = _elementwise(cfg.xy_loss_func, pred_xy * xy_mask, gt_xy * xy_mask)
+        out["loss_xy"] = loss_xy
+        total = total + loss_xy
+    return total, out
 
 
 def rotation_diff_metric(pred_rot: Array, gt_rot: Array) -> Array:

@@ -89,6 +89,11 @@ def compute_metrics_batch(
     pred_rel = pred_keypoints3d[..., 2] - pred_keypoints3d[:, rid : rid + 1, 2]
     gt_rel = gt_keypoints3d[..., 2] - gt_keypoints3d[:, rid : rid + 1, 2]
     out["image_rel_err"] = jnp.mean(jnp.abs(pred_rel - gt_rel), axis=1)
+    # root-relative ADD: z replaced by root-relative depth on both sides
+    # (ref metrics.py:103-110; feeds the Relative_ADD/AUC summary line)
+    pr = pred_keypoints3d.at[..., 2].set(pred_rel)
+    gr = gt_keypoints3d.at[..., 2].set(gt_rel)
+    out["image_dis3d_rel"] = jnp.mean(jnp.linalg.norm(pr - gr, axis=-1), axis=1)
     return out
 
 

@@ -73,8 +73,24 @@ def make_sim2real_step(cfg, model, tx, robot, robot_mesh: RobotMesh, render_hw):
 
         inter = jnp.sum(renders * seg_masks, axis=(1, 2))
         union = jnp.sum(renders + seg_masks - renders * seg_masks, axis=(1, 2))
-        loss_iou = jnp.mean(1.0 - inter / jnp.maximum(union, 1.0))
-        loss_mask = jnp.mean((renders - seg_masks) ** 2)
+        iou_per_sample = inter / jnp.maximum(union, 1.0)
+        loss_iou = jnp.mean(1.0 - iou_per_sample)
+        # mask matching loss: MSE / BCE / scaled-sum-MSE, selected like
+        # the reference (train_sim2real.py:436-443)
+        func = getattr(cfg, "mask_loss_func", "mse_mean")
+        if func == "mse_mean":
+            loss_mask = jnp.mean((renders - seg_masks) ** 2)
+        elif func == "bce":
+            r = jnp.clip(renders, 1e-6, 1.0 - 1e-6)
+            loss_mask = -jnp.mean(
+                seg_masks * jnp.log(r) + (1.0 - seg_masks) * jnp.log(1.0 - r)
+            )
+        elif func == "mse_sum":
+            loss_mask = 0.001 * jnp.mean(
+                jnp.sum((renders - seg_masks) ** 2, axis=(1, 2))
+            )
+        else:
+            raise NotImplementedError(f"mask_loss_func={func}")
         area_p = jnp.sum(renders, axis=(1, 2))
         area_s = jnp.sum(seg_masks, axis=(1, 2))
         loss_scale = jnp.mean(
@@ -96,6 +112,8 @@ def make_sim2real_step(cfg, model, tx, robot, robot_mesh: RobotMesh, render_hw):
             "loss_scale": loss_scale,
             "loss_align": loss_align,
             "sup_loss_logged": sup_loss,
+            # per-sample IoU for worst-case tracking (ref :587-594)
+            "iou_per_sample": iou_per_sample,
             **{f"sup_{k}": v for k, v in sup_dict.items()},
         }
         return total, loss_dict
@@ -130,11 +148,23 @@ class Sim2RealTrainer:
         self.tx = make_optimizer(cfg)
         link_meshes = mesh_files or default_link_meshes(self.robot)
         self.robot_mesh = RobotMesh(self.robot, link_meshes)
-        # frozen segmentation net (pretrained import via checkpoint_io when
-        # the reference .pth weights are available; random otherwise)
+        # frozen segmentation net: import the reference's per-camera .pth
+        # (ref mask_inference.py:35-44) when it is on disk; otherwise warn
+        # loudly — random seg weights supervise against noise masks.
         if seg is None:
+            from ..models.ctrnet import seg_checkpoint_path
+
+            pth, code = seg_checkpoint_path(cfg.train_ds_names)
+            if not os.path.exists(pth):
+                import warnings
+
+                warnings.warn(
+                    f"seg-net checkpoint {pth} (camera '{code}') not found; "
+                    "sim2real mask supervision will use RANDOM seg weights"
+                )
+                pth = None
             seg_model, seg_vars = build_seg_net(
-                num_keypoints=self.robot.num_keypoints
+                num_keypoints=self.robot.num_keypoints, checkpoint_path=pth
             )
             seg = SegMaskInference(seg_model, seg_vars, scale=RENDER_SCALE)
         self.seg = seg
@@ -161,7 +191,56 @@ class Sim2RealTrainer:
             occlusion_augmentation=False, robot=cfg.urdf_robot_name,
             include_original=True,
         )
-        loader = DataLoader(ds, cfg.batch_size,
+
+        # --- eval sets (ref train_sim2real.py:66-75, 701-728): evaluate
+        # every real test set that is on disk; the checkpoint criterion is
+        # the one matching the training camera. When none of the DREAM
+        # real sets exist (fixture/smoke runs), fall back to a held-out
+        # 10% slice of the training set: train on the first 90%, validate
+        # on the last 10% — never select checkpoints on training data.
+        from ..models.ctrnet import seg_checkpoint_path
+        from ..data.loader import ListSampler
+
+        _, code_name = seg_checkpoint_path(cfg.train_ds_names)
+        real_sets = {
+            "azure": "dream/real/panda-3cam_azure",
+            "kinect": "dream/real/panda-3cam_kinect",
+            "realsense": "dream/real/panda-3cam_realsense",
+            "orb": "dream/real/panda-orb",
+        }
+        eval_loaders = {}
+        for short, rel in real_sets.items():
+            path = rel if os.path.isabs(rel) else os.path.join(cfg.data_dir, rel)
+            if not os.path.isdir(path):
+                continue
+            eds = DreamDataset(
+                path, color_jitter=False, rgb_augmentation=False,
+                occlusion_augmentation=False, robot=cfg.urdf_robot_name,
+            )
+            if len(eds) == 0:
+                continue
+            eval_loaders[short] = DataLoader(
+                eds, cfg.batch_size, shuffle=False,
+                num_workers=cfg.n_dataloader_workers,
+            )
+        if eval_loaders:
+            ckpt_tag = code_name if code_name in eval_loaders else next(iter(eval_loaders))
+            train_sampler = None
+        else:
+            n = len(ds)
+            n_eval = max(1, n // 10)
+            train_sampler = ListSampler(list(range(n - n_eval)))
+            eval_ds = DreamDataset(
+                cfg.train_ds_names, color_jitter=False, rgb_augmentation=False,
+                occlusion_augmentation=False, robot=cfg.urdf_robot_name,
+            )
+            eval_loaders["heldout"] = DataLoader(
+                eval_ds, cfg.batch_size, sampler=ListSampler(list(range(n - n_eval, n))),
+                shuffle=False, num_workers=cfg.n_dataloader_workers,
+            )
+            ckpt_tag = "heldout"
+
+        loader = DataLoader(ds, cfg.batch_size, sampler=train_sampler,
                             num_workers=cfg.n_dataloader_workers)
         H0, W0 = 480, 640
         render_hw = (int(H0 * RENDER_SCALE), int(W0 * RENDER_SCALE))
@@ -227,11 +306,21 @@ class Sim2RealTrainer:
         eval_trainer.eval_fn = make_full_net_eval(cfg, self.model, self.robot, True)
 
         rng = jax.random.PRNGKey(7)
-        best = -np.inf
+        # resume (ref train_sim2real.py:108-124): restore the best-on-real
+        # checkpoint of this experiment and continue from its epoch
+        start_epoch, best = 0, -np.inf
+        if cfg.resume_run:
+            state, start_epoch, best = ckpt.resume_tag(ckpt_tag, state)
+            print(f"resumed sim2real from epoch {start_epoch} (best {best:.4f})")
+
         n_epochs = n_epochs or cfg.n_epochs
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             state = set_learning_rate(state, cfg.lr * lr_factor(cfg, epoch))
-            meter = AverageMeter()
+            # loss accumulates ON DEVICE; a single fetch per epoch (the
+            # reference-equivalent of trainer.py's every-100-step sync)
+            loss_sum = jnp.float32(0.0)
+            n_steps = 0
+            worst_iou = jnp.float32(jnp.inf)
             for batch in loader:
                 batch, n_real = _pad_batch(batch, cfg.batch_size)
                 images_orig = batch.pop("images_original")
@@ -239,9 +328,24 @@ class Sim2RealTrainer:
                 batch = shard_batch(mesh, batch)
                 rng, sub = jax.random.split(rng)
                 state, loss_dict = step(state, batch, seg_masks, sub)
-                meter.add(float(loss_dict["loss"]))
-            writer.add_scalar("Train/loss_sim2real", meter.mean, epoch)
-            print(f"sim2real epoch {epoch}: loss {meter.mean:.4f}")
-            score, summary = eval_trainer.validate(state, loader, "real", epoch, writer)
-            best = ckpt.save_if_best("real", state, epoch, score, best)
+                loss_sum = loss_sum + loss_dict["loss"]
+                worst_iou = jnp.minimum(
+                    worst_iou, jnp.min(loss_dict["iou_per_sample"][:n_real])
+                )
+                n_steps += 1
+            mean_loss = float(loss_sum) / max(n_steps, 1)
+            writer.add_scalar("Train/loss_sim2real", mean_loss, epoch)
+            # worst-case tracking (ref train_sim2real.py:587-594): the
+            # epoch's minimum per-sample IoU flags degenerate renders
+            writer.add_scalar("Train/worst_iou_sim2real", float(worst_iou), epoch)
+            print(
+                f"sim2real epoch {epoch}: loss {mean_loss:.4f} "
+                f"(worst IoU {float(worst_iou):.3f})"
+            )
+            for short, eloader in eval_loaders.items():
+                score, summary = eval_trainer.validate(
+                    state, eloader, short, epoch, writer
+                )
+                if short == ckpt_tag:
+                    best = ckpt.save_if_best(ckpt_tag, state, epoch, score, best)
         return state

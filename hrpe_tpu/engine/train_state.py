@@ -183,6 +183,18 @@ def make_full_net_eval(cfg, model, robot, use_pnp: bool) -> Callable:
         d = jnp.abs(eul_p - eul_g)
         d = jnp.minimum(d, 2 * jnp.pi - d)  # wrap-around
         loss_dict["euler_err"] = jnp.mean(d)
+        # integral-keypoint 2D reprojection error inside the crop, masked
+        # by in-crop validity (ref scripts/test.py:182-192)
+        from ..utils.geometry import project_points
+
+        kp2d_int = project_points(batch["other_K"], out["xyz_int"])
+        vm = batch["other_valid_mask_crop"]
+        e2d = jnp.linalg.norm(
+            kp2d_int - batch["other_keypoints_2d"], axis=-1
+        ) * vm
+        loss_dict["kp2d_int_distance"] = jnp.sum(e2d) / jnp.maximum(
+            jnp.sum(vm), 1.0
+        )
         return loss_dict, m_fk, m_int, out
 
     return evaluate
@@ -191,6 +203,17 @@ def make_full_net_eval(cfg, model, robot, use_pnp: bool) -> Callable:
 # ---------------------------------------------------------------------------
 # depthnet pipeline
 # ---------------------------------------------------------------------------
+
+def _depthnet_gt(cfg, batch):
+    """GT root translation/depth: robot base (TCO) when
+    reference_keypoint_id == 0, else the reference keypoint's camera-frame
+    position (ref train_depthnet.py:231-237)."""
+    if cfg.reference_keypoint_id == 0:
+        gt_trans = batch["TCO"][:, :3, 3]
+    else:
+        gt_trans = batch["root_keypoints_3d"][:, cfg.reference_keypoint_id]
+    return gt_trans, gt_trans[:, 2:3]
+
 
 def make_depthnet_step(cfg, model, tx) -> Callable:
     def loss_fn(params, batch_stats, batch, rng):
@@ -201,7 +224,7 @@ def make_depthnet_step(cfg, model, tx) -> Callable:
         else:
             bboxes, K = batch["root_bbox_strict_bounded"], batch["root_K"]
         k_vals = L.k_values(bboxes, K)
-        gt_depth = batch["TCO"][:, 2:3, 3]
+        gt_trans, gt_depth = _depthnet_gt(cfg, batch)
         variables = {"params": params, "batch_stats": batch_stats}
         pred, mutated = model.apply(
             variables,
@@ -212,7 +235,15 @@ def make_depthnet_step(cfg, model, tx) -> Callable:
             rngs={"dropout": rng},
         )
         pred_depth = pred[:, -1:] / 1000.0  # mm -> m
-        total, loss_dict = L.depthnet_loss(cfg, pred_depth, gt_depth)
+        if cfg.use_rootnet_xy_branch:
+            mask = batch["root_valid_mask_crop"][:, cfg.reference_keypoint_id]
+            total, loss_dict = L.depthnet_loss(
+                cfg, pred_depth, gt_depth,
+                pred_xy=pred[:, 0:2], gt_xy=gt_trans[:, 0:2],
+                xy_mask=mask[:, None],
+            )
+        else:
+            total, loss_dict = L.depthnet_loss(cfg, pred_depth, gt_depth)
         return total, (loss_dict, mutated["batch_stats"])
 
     @jax.jit
@@ -244,7 +275,7 @@ def make_depthnet_eval(cfg, model) -> Callable:
         else:
             bboxes, K = batch["root_bbox_strict_bounded"], batch["root_K"]
         k_vals = L.k_values(bboxes, K)
-        gt_depth = batch["TCO"][:, 2:3, 3]
+        _, gt_depth = _depthnet_gt(cfg, batch)
         pred = model.apply(
             state.variables,
             batch["root_images"].astype(jnp.float32) / 255.0,

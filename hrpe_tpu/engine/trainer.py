@@ -59,6 +59,9 @@ def get_dataloaders(cfg) -> tuple:
             occlusion_augmentation=cfg.occlusion if train else False,
             occlu_p=cfg.occlu_p,
             flip=cfg.rootnet_flip if train else False,
+            rotate=cfg.rootnet_rotate if train else False,
+            blur_augmentation=cfg.blur_augmentation if train else False,
+            grayscale_augmentation=cfg.grayscale_augmentation if train else False,
             padding=cfg.padding if train else False,
             process_truncation=truncation,
             robot=robot,
@@ -339,4 +342,6 @@ class Trainer:
                     "allreal", state, epoch, composite,
                     bests.get("allreal", -np.inf),
                 )
+            # last-state checkpoint for preemption-safe resume
+            ckpt.save_latest(state, epoch, bests)
         return state

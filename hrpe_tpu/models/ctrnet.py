@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.subpixel import SubpixelConvTranspose
 from .resnet import Bottleneck
 
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
@@ -51,16 +52,24 @@ class DilatedResNet50(nn.Module):
         x = _bn(train, self.dtype, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        # torchvision replace_stride_with_dilation=[False, True, True]
+        # convention: in a dilated stage the FIRST block keeps the
+        # previous stage's dilation (torchvision resnet._make_layer passes
+        # previous_dilation to block 0), later blocks use the new one.
         specs = [
-            (3, 64, 1, 1), (4, 128, 2, 1), (6, 256, 1, 2), (3, 512, 1, 4)
-        ]  # (blocks, width, stride, dilation)
+            (3, 64, 1, 1, 1),      # (blocks, width, stride, dil0, dil)
+            (4, 128, 2, 1, 1),
+            (6, 256, 1, 1, 2),
+            (3, 512, 1, 2, 4),
+        ]
         in_ch = 64
-        for stage, (n_blocks, width, stride, dil) in enumerate(specs):
+        for stage, (n_blocks, width, stride, dil0, dil) in enumerate(specs):
             for b in range(n_blocks):
                 down = b == 0 and (stride != 1 or in_ch != width * 4)
                 x = Bottleneck(
                     width, stride if b == 0 else 1, down, self.dtype,
-                    dilation=dil, name=f"layer{stage+1}_{b}",
+                    dilation=dil0 if b == 0 else dil,
+                    name=f"layer{stage+1}_{b}",
                 )(x, train)
                 in_ch = width * 4
         return x  # (B, H/8, W/8, 2048)
@@ -118,20 +127,22 @@ class KeyPointSegNet(nn.Module):
         seg_logits = nn.Conv(1, (1, 1), dtype=self.dtype, name="seg_out")(seg)
         seg_logits = _resize_bilinear(seg_logits, (H, W))
 
-        # keypoint head: deconv x2 + 1x1 -> spatial soft-argmax
-        y = a
-        for i in range(2):
-            y = nn.ConvTranspose(256, (4, 4), strides=(2, 2), padding="SAME",
-                                 use_bias=False, dtype=self.dtype, name=f"kp_deconv{i}")(y)
-            y = nn.relu(_bn(train, self.dtype, f"kp_bn{i}")(y))
-        hm = nn.Conv(self.num_keypoints, (1, 1), dtype=self.dtype, name="kp_out")(y)
+        # keypoint head (ref keypoint_seg_resnet.py:10-36,128-143): ONE
+        # deconv 2048 -> K (k=4, s=2, p=1, WITH bias) straight off the
+        # trunk, spatial soft-argmax over normalized [-1,1] coords, then
+        # mapped to pixel coords via (kp + 1) * (W//2, H//2).
+        hm = SubpixelConvTranspose(
+            self.num_keypoints, use_bias=True, dtype=self.dtype, name="kp_deconv"
+        )(f)
         B, h, w, Kk = hm.shape
-        p = jax.nn.softmax(hm.reshape(B, h * w, Kk), axis=1).reshape(B, h, w, Kk)
-        xs = jnp.arange(w, dtype=jnp.float32) * (W / w)
-        ys = jnp.arange(h, dtype=jnp.float32) * (H / h)
-        kp_x = jnp.einsum("bhwk,w->bk", p, xs)
-        kp_y = jnp.einsum("bhwk,h->bk", p, ys)
-        keypoints = jnp.stack([kp_x, kp_y], axis=-1)  # (B, K, 2)
+        p = jax.nn.softmax(
+            hm.reshape(B, h * w, Kk).astype(jnp.float32), axis=1
+        ).reshape(B, h, w, Kk)
+        xs = jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32)
+        ys = jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32)
+        kp_x = (jnp.einsum("bhwk,w->bk", p, xs) + 1.0) * (W // 2)
+        kp_y = (jnp.einsum("bhwk,h->bk", p, ys) + 1.0) * (H // 2)
+        keypoints = jnp.stack([kp_x, kp_y], axis=-1)  # (B, K, 2) pixels
         return seg_logits[..., 0], keypoints
 
 
@@ -195,11 +206,44 @@ class CtRNet:
         return theta, jax.nn.sigmoid(seg_logits), kp2d
 
 
-def build_seg_net(num_keypoints=7, rng=None, image_hw=(240, 320)):
-    """Construct + init a KeyPointSegNet (random weights; real deployments
-    import the reference's pretrained per-camera .pth via checkpoint_io)."""
+SEG_CAMERAS = ("azure", "kinect", "realsense", "orb")
+
+
+def seg_checkpoint_path(train_ds_names: str, root: str = "models/panda_segmentation"):
+    """Per-camera .pth path selection (ref mask_inference.py:35-44):
+    the camera code name is whichever of azure/kinect/realsense/orb
+    appears in the training dataset name (ref train_sim2real.py:60-64)."""
+    import os
+
+    for code in SEG_CAMERAS:
+        if code in train_ds_names:
+            return os.path.join(root, f"{code}.pth"), code
+    return os.path.join(root, "azure.pth"), "azure"
+
+
+def build_seg_net(num_keypoints=7, rng=None, image_hw=(240, 320),
+                  checkpoint_path=None):
+    """Construct + init a KeyPointSegNet.
+
+    checkpoint_path: a reference-format per-camera .pth
+    (mask_inference.py:35-44). When given and present, weights are
+    imported through checkpoint_io.translate_ctrnet_key (strict: every
+    torch tensor must land). When absent, weights stay random — callers
+    should warn, as random masks are noise supervision.
+    """
     model = KeyPointSegNet(num_keypoints=num_keypoints)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     x = jnp.zeros((1, image_hw[0], image_hw[1], 3))
     variables = jax.jit(lambda r: model.init(r, x, train=False))(rng)
+    if checkpoint_path is not None:
+        from ..utils.checkpoint_io import (
+            import_state_dict,
+            load_torch_state_dict,
+            translate_ctrnet_key,
+        )
+
+        sd = load_torch_state_dict(checkpoint_path)
+        variables, report = import_state_dict(
+            sd, variables, translate_ctrnet_key, strict=True
+        )
     return model, variables

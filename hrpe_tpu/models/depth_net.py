@@ -16,6 +16,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.subpixel import SubpixelConvTranspose
 from .hrnet import HRNet
 from .resnet import ResNet, feature_channels
 
@@ -59,9 +60,8 @@ class RootNet(nn.Module):
         if self.pred_xy:
             y = fm
             for i in range(3):
-                y = nn.ConvTranspose(
-                    256, (4, 4), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype, name=f"deconv{i}",
+                y = SubpixelConvTranspose(
+                    256, dtype=self.dtype, name=f"deconv{i}"
                 )(y)
                 y = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9,

@@ -36,6 +36,7 @@ import numpy as np
 from ..data.const import JOINT_BOUNDS, initial_joint_angles
 from ..kinematics import KinematicChain, ROBOT_DOF, ROBOT_NKPT, load_robot
 from ..utils.geometry import inv_K, rot6d_to_rotmat, rotmat_to_rot6d
+from ..ops.subpixel import SubpixelConvTranspose
 from ..utils.transforms import uvz_to_xyz_singlepoint
 from .hrnet import HRNet
 from .integral import integral_joint_decode, integral_pose_decode
@@ -101,6 +102,10 @@ class RootNetwithRegInt(nn.Module):
     # inference-only: space-to-depth packed HRNet branches (~1.6x on the
     # hrnet trunk); requires variables converted by pack_full_net_variables
     packed_inference: bool = False
+    # int8 serving path for the conv trunks (ops/quant.py): None | 'calib'
+    # | 'int8'. Calibrate with qmode='calib' + mutable=['quant'], then
+    # serve with qmode='int8' passing the recorded 'quant' collection.
+    qmode: str | None = None
 
     def _hrnet_cls(self):
         if self.packed_inference:
@@ -120,12 +125,13 @@ class RootNetwithRegInt(nn.Module):
         if c.rootnet_backbone_name in ("hrnet", "hrnet32"):
             self.rootnet_backbone = self._hrnet_cls()(
                 32, c.nkpt, depth_dim, generate_hm=False, generate_feat=True,
-                dtype=self.dtype, name="rootnet_backbone",
+                dtype=self.dtype, qmode=self.qmode, name="rootnet_backbone",
             )
             self.root_feat_ch = 2048
         else:
             self.rootnet_backbone = ResNet(
-                c.rootnet_backbone_name, self.dtype, name="rootnet_backbone"
+                c.rootnet_backbone_name, self.dtype, qmode=self.qmode,
+                name="rootnet_backbone",
             )
             self.root_feat_ch = feature_channels(c.rootnet_backbone_name)
         self.depth_num = len(c.kps_need_depth) if c.multi_kp else 1
@@ -141,19 +147,19 @@ class RootNetwithRegInt(nn.Module):
         if c.backbone_name in ("hrnet", "hrnet32"):
             self.reg_backbone = self._hrnet_cls()(
                 32, c.nkpt, depth_dim, generate_hm=True, generate_feat=True,
-                dtype=self.dtype, name="reg_backbone",
+                dtype=self.dtype, qmode=self.qmode, name="reg_backbone",
             )
             self.feature_channel = 2048
         else:
-            self.reg_backbone = ResNet(c.backbone_name, self.dtype, name="reg_backbone")
+            self.reg_backbone = ResNet(
+                c.backbone_name, self.dtype, qmode=self.qmode, name="reg_backbone"
+            )
             self.feature_channel = feature_channels(c.backbone_name)
             self.deconvs = [
                 (
-                    # torch ConvTranspose2d(k=4, s=2, p=1) == flax 'SAME'
-                    nn.ConvTranspose(
-                        ch, (4, 4), strides=(2, 2), padding="SAME",
-                        use_bias=False, dtype=self.dtype, name=f"deconv{i}",
-                    ),
+                    # torch ConvTranspose2d(k=4, s=2, p=1) == flax 'SAME';
+                    # subpixel form = exact same map at 1/4 the FLOPs
+                    SubpixelConvTranspose(ch, dtype=self.dtype, name=f"deconv{i}"),
                     nn.BatchNorm(momentum=0.9, dtype=jnp.float32, name=f"deconv_bn{i}"),
                 )
                 for i, ch in enumerate(c.deconv_dim)
@@ -336,7 +342,8 @@ class RootNetwithRegInt(nn.Module):
 
 
 def build_full_net(
-    cfg: FullNetConfig, dtype=jnp.float32, packed_inference: bool = False
+    cfg: FullNetConfig, dtype=jnp.float32, packed_inference: bool = False,
+    qmode: str | None = None,
 ) -> RootNetwithRegInt:
     """Constructor mirroring get_rootNetwithRegInt_model (full_net.py:470-505).
 
@@ -346,7 +353,7 @@ def build_full_net(
     serving twin with space-to-depth packed HRNet branches; convert
     trained variables with `pack_full_net_variables`.
     """
-    return RootNetwithRegInt(cfg, dtype, packed_inference)
+    return RootNetwithRegInt(cfg, dtype, packed_inference, qmode)
 
 
 def pack_full_net_variables(variables: dict) -> dict:

@@ -22,6 +22,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.quant import QuantConv, Requant, deq
 from .resnet import BasicBlock, Bottleneck
 
 # stage configs (ref: backbones/configs/hrnet_w32.yaml:55-93 / hrnet_w48)
@@ -41,21 +42,23 @@ HRNET_STAGES = {
 HEAD_CHANNELS = (32, 64, 128, 256)  # ref HRnet.py:343 (x4 bottleneck expansion)
 
 
-def _bn(train, dtype, name):
+def _bn(train, dtype, name, qmode=None):
     # BN runs in f32 during TRAINING: although flax computes statistics in
     # f32 regardless, a bf16 BN affine in the train step empirically NaN'd
     # the first 256^2 bf16 step on the TPU runtime (round-1 verification).
     # Inference BN is a per-channel affine — safe in the compute dtype.
+    # (qmode accepted for call-site symmetry; an f32-glue int8 variant was
+    # measured SLOWER end-to-end — see ops/quant.py NOTE.)
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,
         dtype=(jnp.float32 if train else dtype), name=name,
     )
 
 
-def _conv(ch, k, s, name, dtype, bias=False):
-    return nn.Conv(
+def _conv(ch, k, s, name, dtype, bias=False, qmode=None):
+    return QuantConv(
         ch, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
-        use_bias=bias, dtype=dtype, name=name,
+        use_bias=bias, dtype=dtype, qmode=qmode, name=name,
     )
 
 
@@ -78,6 +81,7 @@ class FuseUnit(nn.Module):
     in_channels: Sequence[int]
     n_out: int
     dtype: Any = jnp.float32
+    qmode: str | None = None
 
     @nn.compact
     def __call__(self, xs, train: bool):
@@ -86,25 +90,27 @@ class FuseUnit(nn.Module):
             acc = None
             for j, x in enumerate(xs):
                 if j == i:
-                    y = x
+                    y = deq(x, self.dtype)
                 elif j > i:
-                    y = nn.Conv(
+                    y = QuantConv(
                         self.out_channels[i], (1, 1), use_bias=False,
-                        dtype=self.dtype, name=f"up_{i}_{j}_conv",
+                        dtype=self.dtype, qmode=self.qmode, name=f"up_{i}_{j}_conv",
                     )(x)
-                    y = _bn(train, self.dtype, f"up_{i}_{j}_bn")(y)
+                    y = _bn(train, self.dtype, f"up_{i}_{j}_bn", self.qmode)(y)
                     y = upsample_nearest(y, 2 ** (j - i))
                 else:  # j < i: downsample chain
                     y = x
                     for k in range(i - j):
                         last = k == i - j - 1
                         ch = self.out_channels[i] if last else self.in_channels[j]
-                        y = _conv(ch, 3, 2, f"down_{i}_{j}_{k}_conv", self.dtype)(y)
-                        y = _bn(train, self.dtype, f"down_{i}_{j}_{k}_bn")(y)
+                        y = _conv(ch, 3, 2, f"down_{i}_{j}_{k}_conv", self.dtype,
+                                  qmode=self.qmode)(y)
+                        y = _bn(train, self.dtype, f"down_{i}_{j}_{k}_bn", self.qmode)(y)
                         if not last:
                             y = nn.relu(y)
+                            y = Requant(self.qmode, name=f"down_{i}_{j}_{k}_rq")(y)
                 acc = y if acc is None else acc + y
-            outs.append(nn.relu(acc))
+            outs.append(Requant(self.qmode, name=f"out_{i}_rq")(nn.relu(acc)))
         return outs
 
 
@@ -115,6 +121,7 @@ class HRModule(nn.Module):
     blocks: int
     multi_scale_output: bool = True
     dtype: Any = jnp.float32
+    qmode: str | None = None
 
     @nn.compact
     def __call__(self, xs, train: bool):
@@ -122,13 +129,13 @@ class HRModule(nn.Module):
         for bi, x in enumerate(xs):
             for k in range(self.blocks):
                 x = BasicBlock(
-                    self.channels[bi], 1, False, self.dtype,
+                    self.channels[bi], 1, False, self.dtype, qmode=self.qmode,
                     name=f"branch{bi}_block{k}",
                 )(x, train)
             ys.append(x)
         n_out = len(self.channels) if self.multi_scale_output else 1
         ys = FuseUnit(
-            self.channels, self.channels, n_out, self.dtype, name="fuse"
+            self.channels, self.channels, n_out, self.dtype, self.qmode, name="fuse"
         )(ys, train)
         return ys
 
@@ -139,6 +146,7 @@ class Transition(nn.Module):
     prev_channels: Sequence[int]
     next_channels: Sequence[int]
     dtype: Any = jnp.float32
+    qmode: str | None = None
 
     @nn.compact
     def __call__(self, xs, train: bool):
@@ -146,9 +154,9 @@ class Transition(nn.Module):
         for i, ch in enumerate(self.next_channels):
             if i < len(self.prev_channels):
                 if ch != self.prev_channels[i]:
-                    y = _conv(ch, 3, 1, f"t{i}_conv", self.dtype)(xs[i])
-                    y = _bn(train, self.dtype, f"t{i}_bn")(y)
-                    outs.append(nn.relu(y))
+                    y = _conv(ch, 3, 1, f"t{i}_conv", self.dtype, qmode=self.qmode)(xs[i])
+                    y = _bn(train, self.dtype, f"t{i}_bn", self.qmode)(y)
+                    outs.append(Requant(self.qmode, name=f"t{i}_rq")(nn.relu(y)))
                 else:
                     outs.append(xs[i])
             else:
@@ -156,9 +164,10 @@ class Transition(nn.Module):
                 y = xs[-1]
                 for j in range(i + 1 - len(self.prev_channels)):
                     out_ch = ch if j == i - len(self.prev_channels) else self.prev_channels[-1]
-                    y = _conv(out_ch, 3, 2, f"t{i}_{j}_conv", self.dtype)(y)
-                    y = _bn(train, self.dtype, f"t{i}_{j}_bn")(y)
+                    y = _conv(out_ch, 3, 2, f"t{i}_{j}_conv", self.dtype, qmode=self.qmode)(y)
+                    y = _bn(train, self.dtype, f"t{i}_{j}_bn", self.qmode)(y)
                     y = nn.relu(y)
+                    y = Requant(self.qmode, name=f"t{i}_{j}_rq")(y)
                 outs.append(y)
         return outs
 
@@ -171,6 +180,7 @@ class ClsHead(nn.Module):
     """
 
     dtype: Any = jnp.float32
+    qmode: str | None = None
 
     @nn.compact
     def __call__(self, ys, train: bool):
@@ -179,21 +189,23 @@ class ClsHead(nn.Module):
             # one bottleneck per branch: ch -> HEAD_CHANNELS[i] * 4
             incre.append(
                 Bottleneck(
-                    HEAD_CHANNELS[i], 1, True, self.dtype, name=f"incre{i}"
+                    HEAD_CHANNELS[i], 1, True, self.dtype, qmode=self.qmode,
+                    name=f"incre{i}",
                 )(y, train)
             )
         y = incre[0]
         for i in range(len(ys) - 1):
-            down = nn.Conv(
+            down = QuantConv(
                 HEAD_CHANNELS[i + 1] * 4, (3, 3), strides=(2, 2),
                 padding=[(1, 1), (1, 1)], use_bias=True, dtype=self.dtype,
-                name=f"down{i}_conv",
+                qmode=self.qmode, name=f"down{i}_conv",
             )(y)
-            down = _bn(train, self.dtype, f"down{i}_bn")(down)
+            down = _bn(train, self.dtype, f"down{i}_bn", self.qmode)(down)
             down = nn.relu(down)
-            y = incre[i + 1] + down
-        y = nn.Conv(2048, (1, 1), use_bias=True, dtype=self.dtype, name="final_conv")(y)
-        y = _bn(train, self.dtype, "final_bn")(y)
+            y = deq(incre[i + 1], self.dtype) + down
+        y = QuantConv(2048, (1, 1), use_bias=True, dtype=self.dtype,
+                      qmode=self.qmode, name="final_conv")(y)
+        y = _bn(train, self.dtype, "final_bn", self.qmode)(y)
         y = nn.relu(y)
         return jnp.mean(y, axis=(1, 2))  # global average pool
 
@@ -208,6 +220,7 @@ class HRNet(nn.Module):
     generate_feat: bool = True
     final_conv_kernel: int = 1
     dtype: Any = jnp.float32
+    qmode: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -215,20 +228,22 @@ class HRNet(nn.Module):
 
         # stem (ref HRnet.py:284-291): two stride-2 3x3 convs + 4 bottlenecks
         x = _conv(64, 3, 2, "stem_conv1", self.dtype)(x)
-        x = _bn(train, self.dtype, "stem_bn1")(x)
+        x = _bn(train, self.dtype, "stem_bn1", self.qmode)(x)
         x = nn.relu(x)
         x = _conv(64, 3, 2, "stem_conv2", self.dtype)(x)
-        x = _bn(train, self.dtype, "stem_bn2")(x)
+        x = _bn(train, self.dtype, "stem_bn2", self.qmode)(x)
         x = nn.relu(x)
         for k in range(4):
-            x = Bottleneck(64, 1, k == 0, self.dtype, name=f"layer1_{k}")(x, train)
+            x = Bottleneck(64, 1, k == 0, self.dtype, qmode=self.qmode,
+                           name=f"layer1_{k}")(x, train)
 
         xs = [x]
         prev = (256,)
         for sname in ("stage2", "stage3", "stage4"):
             scfg = cfg[sname]
             xs = Transition(
-                prev, scfg["channels"], self.dtype, name=f"transition_{sname}"
+                prev, scfg["channels"], self.dtype, self.qmode,
+                name=f"transition_{sname}",
             )(xs, train)
             last_stage = sname == "stage4"
             for m in range(scfg["modules"]):
@@ -238,7 +253,7 @@ class HRNet(nn.Module):
                 if last_stage and not self.generate_feat and m == scfg["modules"] - 1:
                     mso = False
                 xs = HRModule(
-                    scfg["channels"], scfg["blocks"], mso, self.dtype,
+                    scfg["channels"], scfg["blocks"], mso, self.dtype, self.qmode,
                     name=f"{sname}_m{m}",
                 )(xs, train)
             prev = scfg["channels"]
@@ -250,11 +265,11 @@ class HRNet(nn.Module):
                 self.num_joints * self.depth_dim, (k, k),
                 padding=[(k // 2, k // 2)] * 2, use_bias=True,
                 dtype=self.dtype, name="final_hm",
-            )(xs[0])
+            )(deq(xs[0], self.dtype))
 
         feat = None
         if self.generate_feat:
-            feat = ClsHead(self.dtype, name="cls_head")(xs, train)
+            feat = ClsHead(self.dtype, self.qmode, name="cls_head")(xs, train)
 
         if self.generate_hm and self.generate_feat:
             return out_hm, feat

@@ -150,6 +150,8 @@ class HRNetPacked(nn.Module):
     generate_feat: bool = True
     final_conv_kernel: int = 1
     dtype: Any = jnp.float32
+    qmode: str | None = None  # accepted for HRNet interface parity; int8
+    # and packing are alternative serving modes, combine is unsupported
 
     @nn.compact
     def __call__(self, x, train: bool = False):

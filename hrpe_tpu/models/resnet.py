@@ -18,6 +18,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.quant import QuantConv, Requant, deq
+
 RESNET_SPECS = {
     # name: (bottleneck?, blocks per stage, stage widths)
     "resnet18": (False, (2, 2, 2, 2), (64, 128, 256, 512)),
@@ -53,14 +55,15 @@ class BatchNorm(nn.Module):
         )(x)
 
 
-def conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
-    return nn.Conv(
+def conv(features, kernel, stride=1, name=None, dtype=jnp.float32, qmode=None):
+    return QuantConv(
         features,
         (kernel, kernel),
         strides=(stride, stride),
         padding=[(kernel // 2, kernel // 2)] * 2,
         use_bias=False,
         dtype=dtype,
+        qmode=qmode,
         name=name,
     )
 
@@ -70,25 +73,31 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    qmode: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
+        y = conv(self.planes, 3, self.stride, "conv1", self.dtype, self.qmode)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.planes, 3, 1, "conv2", self.dtype)(y)
+        # int8 pipelining: the BN+ReLU epilogue requantizes to int8 so the
+        # next conv reads int8 straight from HBM (half the bf16 traffic,
+        # no separate quantize pass); identity in bf16/training.
+        y = Requant(self.qmode, name="rq1")(y)
+        y = conv(self.planes, 3, 1, "conv2", self.dtype, self.qmode)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn2")(y)
         if self.downsample:
-            residual = nn.Conv(
+            residual = QuantConv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="down_conv",
+                use_bias=False, dtype=self.dtype, qmode=self.qmode, name="down_conv",
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=(jnp.float32 if train else self.dtype), name="down_bn",
             )(residual)
-        return nn.relu(y + residual)
+        out = nn.relu(y + deq(residual, y.dtype))
+        return Requant(self.qmode, name="rq_out")(out)
 
 
 class Bottleneck(nn.Module):
@@ -97,36 +106,40 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     dilation: int = 1
+    qmode: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = QuantConv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, qmode=self.qmode, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn1")(y)
         y = nn.relu(y)
+        y = Requant(self.qmode, name="rq1")(y)
         if self.dilation > 1:
-            y = nn.Conv(
+            y = QuantConv(
                 self.planes, (3, 3), strides=(self.stride, self.stride),
                 padding=[(self.dilation, self.dilation)] * 2,
                 kernel_dilation=(self.dilation, self.dilation),
-                use_bias=False, dtype=self.dtype, name="conv2",
+                use_bias=False, dtype=self.dtype, qmode=self.qmode, name="conv2",
             )(y)
         else:
-            y = conv(self.planes, 3, self.stride, "conv2", self.dtype)(y)
+            y = conv(self.planes, 3, self.stride, "conv2", self.dtype, self.qmode)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = Requant(self.qmode, name="rq2")(y)
+        y = QuantConv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, qmode=self.qmode, name="conv3")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn3")(y)
         if self.downsample:
-            residual = nn.Conv(
+            residual = QuantConv(
                 self.planes * 4, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="down_conv",
+                use_bias=False, dtype=self.dtype, qmode=self.qmode, name="down_conv",
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=(jnp.float32 if train else self.dtype), name="down_bn",
             )(residual)
-        return nn.relu(y + residual)
+        out = nn.relu(y + deq(residual, y.dtype))
+        return Requant(self.qmode, name="rq_out")(out)
 
 
 class ResNet(nn.Module):
@@ -134,6 +147,7 @@ class ResNet(nn.Module):
 
     name_spec: str = "resnet50"
     dtype: Any = jnp.float32
+    qmode: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -141,13 +155,14 @@ class ResNet(nn.Module):
         block_cls = Bottleneck if bottleneck else BasicBlock
         expansion = 4 if bottleneck else 1
 
-        x = nn.Conv(
+        x = QuantConv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        )(x)  # stem stays unquantized: 3-ch input, negligible FLOPs
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = Requant(self.qmode, name="stem_rq")(x)
 
         in_ch = 64
         for stage, (n_blocks, width) in enumerate(zip(blocks, widths)):
@@ -159,7 +174,8 @@ class ResNet(nn.Module):
                     stride if b == 0 else 1,
                     down,
                     self.dtype,
+                    qmode=self.qmode,
                     name=f"layer{stage + 1}_{b}",
                 )(x, train)
                 in_ch = width * expansion
-        return x
+        return deq(x, self.dtype)

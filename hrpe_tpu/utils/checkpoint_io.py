@@ -267,6 +267,59 @@ def translate_rootnet_key(key: str, backbone_is_resnet: bool):
     return None
 
 
+def translate_ctrnet_key(key: str):
+    """Reference KeyPointSegNet (ctrnet/keypoint_seg_resnet.py:103-149)
+    -> our models.ctrnet.KeyPointSegNet paths.
+
+    The per-camera .pth files (mask_inference.py:35-44) are state_dicts of
+    that wrapper: `backbone.0.*` (torchvision deeplabv3_resnet50 dilated
+    trunk inside a Sequential), `read_out.kps_score_lowres.*` (the single
+    keypoint deconv), `classifer.0.*` (torchvision DeepLabHead: ASPP +
+    3x3 conv + BN + final 1x1). DataParallel 'module.' prefixes are
+    stripped upstream by load_torch_state_dict.
+    """
+    p = key.split(".")
+    if p[0] == "backbone":  # backbone.0.<torchvision resnet key>
+        sub = translate_resnet_key(".".join(p[2:]))
+        if sub is None:
+            return None
+        coll, path, kind = sub
+        return coll, ("backbone",) + path, kind
+    if p[0] == "read_out":  # read_out.kps_score_lowres.{weight,bias}
+        if p[2] == "weight":
+            return "params", ("kp_deconv", "kernel"), "convT"
+        return "params", ("kp_deconv", "bias"), "bias"
+    if p[0] == "classifer":  # classifer.0.<DeepLabHead index>...
+        h = p[2]
+        if h == "0":  # ASPP
+            if p[3] == "convs":
+                i = int(p[4])
+                if i < 4:  # 1x1 + three dilated 3x3 branches
+                    if p[5] == "0":
+                        return "params", ("aspp", f"b{i}_conv", "kernel"), "conv"
+                    r = _bn(("aspp", f"b{i}_bn"), p[6])
+                    return (r[0], r[1], "bn") if r else None
+                # convs.4 = ASPPPooling(AdaptiveAvgPool, conv, bn, relu)
+                if p[5] == "1":
+                    return "params", ("aspp", "pool_conv", "kernel"), "conv"
+                r = _bn(("aspp", "pool_bn"), p[6])
+                return (r[0], r[1], "bn") if r else None
+            if p[3] == "project":
+                if p[4] == "0":
+                    return "params", ("aspp", "proj_conv", "kernel"), "conv"
+                r = _bn(("aspp", "proj_bn"), p[5])
+                return (r[0], r[1], "bn") if r else None
+        if h == "1":
+            return "params", ("seg_conv", "kernel"), "conv"
+        if h == "2":
+            r = _bn(("seg_bn",), p[3])
+            return (r[0], r[1], "bn") if r else None
+        if h == "4":
+            leaf = "kernel" if p[3] == "weight" else "bias"
+            return "params", ("seg_out", leaf), ("conv" if leaf == "kernel" else "bias")
+    return None
+
+
 # ---------------------------------------------------------------------------
 # tensor layout conversion + tree merge
 # ---------------------------------------------------------------------------

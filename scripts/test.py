@@ -70,8 +70,11 @@ def main():
     state = ckpt.restore(args.ckpt_tag, state)
 
     alldis = defaultdict(list)
+    meters = defaultdict(list)       # (value, n) pairs for scalar metrics
+    perkp = defaultdict(list)        # per-keypoint / per-joint tables
     times = []
     n_images = 0
+    epoch_meta = ckpt.read_meta(args.ckpt_tag)
     for batch in loader:
         batch, n_real = _pad_batch(batch, cfg.batch_size)
         batch = shard_batch(trainer.mesh, batch)
@@ -80,41 +83,98 @@ def main():
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
         if pipeline == "full":
-            _, m_fk, m_int, _ = jax.device_get(out)
+            loss_dict, m_fk, m_int, _ = jax.device_get(out)
             alldis["dis3d"].extend(m_fk["image_dis3d"][:n_real])
             alldis["dis2d"].extend(m_fk["image_dis2d"][:n_real])
             alldis["jointerror"].extend(m_fk["image_joint_err"][:n_real])
             alldis["dis3d_int"].extend(m_int["image_dis3d"][:n_real])
             alldis["dis2d_int"].extend(m_int["image_dis2d"][:n_real])
+            # root-relative variants (ref test.py:221-233)
+            alldis["dis3d_rel"].extend(m_fk["image_dis3d_rel"][:n_real])
+            alldis["deptherror"].extend(m_fk["depth_err"][:n_real])
+            alldis["deptherror_relative"].extend(m_fk["image_rel_err"][:n_real])
+            for key in ("euler_err", "rotation_diff", "kp2d_int_distance"):
+                meters[key].append((float(np.mean(loss_dict[key])), n_real))
+            perkp["dis3d_per_kp"].append(np.asarray(m_fk["dis3d_per_kp"]))
+            perkp["dis2d_per_kp"].append(np.asarray(m_fk["dis2d_per_kp"]))
+            perkp["l1_joint_per_joint"].append(
+                np.asarray(m_fk["l1_joint_per_joint"])
+            )
         else:
             d = jax.device_get(out)
             alldis["deptherror"].extend(d["depth_abs_err"][:n_real])
         n_images += n_real
 
+    def wmean(pairs):
+        tot = sum(n for _, n in pairs)
+        return sum(v * n for v, n in pairs) / max(tot, 1)
+
     result_dir = os.path.join(args.exp_path, "result")
     os.makedirs(result_dir, exist_ok=True)
-    lines = [f"dataset: {ds_path}", f"images: {n_images}"]
-    # skip the first (compile) batch for runtime stats
-    steady = times[1:] or times
-    per_img = float(np.mean(steady)) / cfg.batch_size
-    lines.append(f"runtime per image: {per_img*1000:.3f} ms; FPS: {1.0/per_img:.1f}")
+    lines = ["Model metrics summary", f"Dataset for testing: {ds_path}",
+             f"images: {n_images}"]
+    if epoch_meta:
+        lines.append(f"This model was saved from epoch: {epoch_meta['epoch']}")
     if pipeline == "full":
         summary = summary_add_pck(alldis["dis3d"], alldis["dis2d"])
         summary_int = summary_add_pck(alldis["dis3d_int"], alldis["dis2d_int"])
-        lines.append(f"AUC ADD (FK): {summary['ADD/AUC']:.6f}")
-        lines.append(f"AUC PCK (FK): {summary['PCK/AUC']:.6f}")
-        lines.append(f"AUC ADD (integral): {summary_int['ADD/AUC']:.6f}")
-        lines.append(f"AUC PCK (integral): {summary_int['PCK/AUC']:.6f}")
-        lines.append(
-            "mean joint error (deg): "
-            f"{float(np.mean(alldis['jointerror']))/np.pi*180.0:.4f}"
-        )
+        summary_rel = summary_add_pck(alldis["dis3d_rel"], alldis["dis2d"])
+        mj = float(np.mean(alldis["jointerror"])) / np.pi * 180.0
+        lines += [
+            f"Joint_l1_error/mean (degree): {mj:.6f}",
+            f"Depth_l1_error/mean (m): {float(np.mean(alldis['deptherror'])):.6f}",
+            "Rotation_l1_error/mean (degree): "
+            f"{wmean(meters['euler_err']) / np.pi * 180.0:.6f}",
+            "Relative_l1_error/mean (m): "
+            f"{float(np.mean(alldis['deptherror_relative'])):.6f}",
+            "KeypointNet_2d_distance/mean (pixel): "
+            f"{wmean(meters['kp2d_int_distance']):.6f}",
+            f"Relative_ADD/AUC: {summary_rel['ADD/AUC']:.6f}",
+            f"ADD/AUC: {summary['ADD/AUC']:.6f}",
+            f"ADD/mean (m): {summary['ADD/mean']:.6f}",
+            f"ADD/median (m): {summary['ADD/median']:.6f}",
+            f"PCK/AUC: {summary['PCK/AUC']:.6f}",
+            f"ADD_2D/mean (pixel): {summary['ADD_2D/mean']:.6f}",
+            f"ADD_2D/median (pixel): {summary['ADD_2D/median']:.6f}",
+            f"AUC ADD (integral): {summary_int['ADD/AUC']:.6f}",
+            f"AUC PCK (integral): {summary_int['PCK/AUC']:.6f}",
+        ]
         for t in ADD_THRESHOLDS_MM:
-            lines.append(f"ADD_{t}_mm: {summary[f'ADD_{t}_mm']:.4f}")
+            lines.append(f"ADD<{t}mm: {summary[f'ADD_{t}_mm']:.4f}")
         for t in PCK_THRESHOLDS_PX:
-            lines.append(f"PCK_{t}_pixel: {summary[f'PCK_{t}_pixel']:.4f}")
+            lines.append(f"ADD_2d<{t}pixel: {summary[f'PCK_{t}_pixel']:.4f}")
+        l1j = np.mean(perkp["l1_joint_per_joint"], axis=0)
+        for k, v in enumerate(l1j):
+            lines.append(
+                f"Joint_l1_error/joint_{k+1} (degree): {v / np.pi * 180.0:.6f}"
+            )
+        d3 = np.mean(perkp["dis3d_per_kp"], axis=0)
+        d2 = np.mean(perkp["dis2d_per_kp"], axis=0)
+        for k in range(len(d3)):
+            lines.append(
+                f"Keypoint_{k+1}: distance3D {d3[k]:.6f} m, "
+                f"distance2D {d2[k]:.4f} px"
+            )
     else:
         lines.append(f"root depth L1 (m): {float(np.mean(alldis['deptherror'])):.6f}")
+
+    # --- runtimes: per-branch + whole, FPS and FPS_parallel --------------
+    # (ref full_net.py:277-457 cuda-sync timers / test.py:265-271). On TPU
+    # each branch is timed as its own jitted function, steady-state, with
+    # unique inputs per rep (this runtime memoizes identical dispatches).
+    steady = times[1:] or times
+    t_whole = float(np.mean(steady)) / cfg.batch_size
+    lines.append("Runtimes:")
+    if pipeline == "full":
+        t_root, t_other = _branch_runtimes(trainer, state, cfg)
+        lines += [
+            f"Runtime of rootnet: {t_root:.6f}",
+            f"Runtime of regression+integral: {t_other:.6f}",
+            f"Runtime of all: {t_whole:.6f}",
+            f"time_image.mean-time_other.mean: {t_whole - t_other:.6f}",
+            f"FPS_parallel: {int(1.0 / max(t_whole - t_other, 1e-9))}",
+        ]
+    lines.append(f"FPS: {int(1.0 / max(t_whole, 1e-9))}")
 
     if pipeline == "full" and len(alldis["dis3d"]):
         from hrpe_tpu.engine.metrics import draw_add_curve
@@ -131,6 +191,58 @@ def main():
     with open(os.path.join(result_dir, "summary.txt"), "w") as f:
         f.write(text + "\n")
     print(text)
+
+
+def _branch_runtimes(trainer, state, cfg, reps=4):
+    """Steady-state per-image runtime of (rootnet branch, reg branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    model = trainer.model
+    B = cfg.batch_size
+    S = int(cfg.other_image_size)
+    x = jnp.zeros((B, S, S, 3), jnp.float32)
+    k = jnp.full((B,), 1000.0, jnp.float32)
+
+    def run(fn, *args):
+        @jax.jit
+        def many(base, *a):
+            def body(carry, off):
+                out = fn(*((a[0] + off,) + a[1:]))
+                tot = sum(
+                    jnp.sum(v.astype(jnp.float32))
+                    for v in jax.tree.leaves(out)
+                    if hasattr(v, "astype")
+                )
+                return carry + tot, None
+
+            offs = jnp.arange(reps, dtype=a[0].dtype) * 1e-6 + base
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), offs)
+            return acc
+
+        _ = float(many(jnp.float32(0.0), *args))
+        best = np.inf
+        for r in range(1, 3):
+            base = jnp.float32(r * 1e-7)
+            _ = np.asarray(base)
+            t0 = time.perf_counter()
+            _ = float(many(base, *args))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best / B
+
+    vs = state.variables
+
+    t_root = run(
+        lambda xx, kk: model.apply(
+            vs, xx, kk, False, method=type(model)._root_depth
+        ),
+        x, k,
+    )
+    t_other = run(
+        lambda xx: model.apply(vs, xx, False, method=type(model)._reg_branch),
+        x,
+    )
+    return t_root, t_other
 
 
 if __name__ == "__main__":

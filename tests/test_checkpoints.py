@@ -57,3 +57,26 @@ def test_resume_fresh(tmp_path):
     cm = CheckpointManager(str(tmp_path))
     state, start_epoch, bests = cm.resume(_state(0.0))
     assert start_epoch == 0 and bests["dr"] == 0.0
+
+
+def test_latest_resume_beats_best(tmp_path):
+    """A preempted run resumes from the LAST epoch, not the last best
+    (VERDICT r1 #8): epochs after the best-dr save must not be lost."""
+    cm = CheckpointManager(str(tmp_path))
+    best = cm.save_if_best("dr", _state(5.0), epoch=2, score=0.9, prev_best=-np.inf)
+    # three more epochs without a new best
+    for e, v in [(3, 6.0), (4, 7.0), (5, 8.0)]:
+        cm.save_latest(_state(v), e, {"dr": best})
+    state, start_epoch, bests = cm.resume(_state(0.0))
+    assert start_epoch == 6
+    assert bests["dr"] == 0.9
+    np.testing.assert_allclose(np.asarray(state["params"]["w"]), 8.0)
+
+
+def test_latest_epoch_guard(tmp_path):
+    cm = CheckpointManager(str(tmp_path))
+    cm.save_latest(_state(5.0), 5, {"dr": 0.1})
+    cm.save_latest(_state(3.0), 3, {"dr": 0.1})  # restarted older run
+    state, start_epoch, _ = cm.resume(_state(0.0))
+    assert start_epoch == 6
+    np.testing.assert_allclose(np.asarray(state["params"]["w"]), 5.0)

@@ -236,7 +236,10 @@ def test_fullnet_forward_parity(backbone):
     np.testing.assert_allclose(t_depth, np.asarray(out.depth), atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(t_uvd, np.asarray(out.uvd), atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(t_root_uv, np.asarray(out.root_uv), atol=2e-2, rtol=1e-3)
-    np.testing.assert_allclose(t_trans, np.asarray(out.trans), atol=2e-3, rtol=1e-3)
-    np.testing.assert_allclose(t_xyz_int, np.asarray(out.xyz_int), atol=2e-3, rtol=1e-3)
+    # rtol 5e-3: trans back-projects uv*depth, amplifying conv summation-order
+    # noise (the subpixel deconv reassociates sums); random weights put
+    # depth at ~450 m so atol is meaningless here, rtol is what matters
+    np.testing.assert_allclose(t_trans, np.asarray(out.trans), atol=2e-3, rtol=5e-3)
+    np.testing.assert_allclose(t_xyz_int, np.asarray(out.xyz_int), atol=2e-3, rtol=5e-3)
     np.testing.assert_allclose(t_pose, np.asarray(out.pose), atol=5e-3, rtol=1e-3)
     np.testing.assert_allclose(t_rot, np.asarray(out.rot), atol=5e-3, rtol=1e-3)

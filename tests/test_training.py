@@ -142,6 +142,29 @@ def test_depthnet_step(fixture_batch):
     assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
 
 
+def test_depthnet_xy_branch_trains(fixture_batch):
+    """use_rootnet_xy_branch: the xy soft-argmax head must receive
+    gradient (ref train_depthnet.py:293-299; VERDICT r1 #7)."""
+    cfg = small_cfg()
+    cfg.use_rootnet_xy_branch = True
+    mesh = make_mesh()
+    model = RootNet(backbone="resnet18", pred_xy=True)
+    tx = make_optimizer(cfg)
+    B, S = 8, 64
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (jnp.zeros((B, S, S, 3)), jnp.ones((B,))),
+    )
+    step = make_depthnet_step(cfg, model, tx)
+    batch = shard_batch(mesh, fixture_batch)
+    xy_losses = []
+    for i in range(20):
+        state, loss_dict = step(state, batch, jax.random.PRNGKey(i))
+        xy_losses.append(float(loss_dict["loss_xy"]))
+    assert np.isfinite(xy_losses).all()
+    assert np.mean(xy_losses[-4:]) < np.mean(xy_losses[:4]), xy_losses
+
+
 def test_lr_schedules():
     cfg = make_default_config()
     cfg.use_schedule = True
