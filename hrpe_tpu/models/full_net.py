@@ -106,6 +106,9 @@ class RootNetwithRegInt(nn.Module):
     # | 'int8'. Calibrate with qmode='calib' + mutable=['quant'], then
     # serve with qmode='int8' passing the recorded 'quant' collection.
     qmode: str | None = None
+    # integral decode implementation: 'jnp' (autodiff path) or 'pallas'
+    # (one-HBM-pass fused kernel, inference-only, TPU-only)
+    decode_impl: str = "jnp"
 
     def _hrnet_cls(self):
         if self.packed_inference:
@@ -310,6 +313,7 @@ class RootNetwithRegInt(nn.Module):
             c.nkpt, self.depth_dim, self.hm_size, self.hm_size,
             K, invk, root_trans3, float(c.image_size), c.depth_factor,
             rootid=c.reference_keypoint_id, fixroot=c.fix_root,
+            decode_impl=(self.decode_impl if not train else "jnp"),
         )
         pred_root_uv = (pred_uvd[:, c.reference_keypoint_id, :2] + 0.5) * c.image_size
 
@@ -343,7 +347,7 @@ class RootNetwithRegInt(nn.Module):
 
 def build_full_net(
     cfg: FullNetConfig, dtype=jnp.float32, packed_inference: bool = False,
-    qmode: str | None = None,
+    qmode: str | None = None, decode_impl: str = "jnp",
 ) -> RootNetwithRegInt:
     """Constructor mirroring get_rootNetwithRegInt_model (full_net.py:470-505).
 
@@ -353,7 +357,7 @@ def build_full_net(
     serving twin with space-to-depth packed HRNet branches; convert
     trained variables with `pack_full_net_variables`.
     """
-    return RootNetwithRegInt(cfg, dtype, packed_inference, qmode)
+    return RootNetwithRegInt(cfg, dtype, packed_inference, qmode, decode_impl)
 
 
 def pack_full_net_variables(variables: dict) -> dict:

@@ -103,6 +103,7 @@ def integral_pose_decode(
     fixroot: bool = False,
     norm_type: str = "softmax",
     rng: Array | None = None,
+    decode_impl: str = "jnp",
 ):
     """Full decode: raw head output -> (pred_uvd, pred_xyz).
 
@@ -111,13 +112,23 @@ def integral_pose_decode(
     used by the reference (channel index = k * D + d, integral.py:116-122
     after its NCHW reshape).
 
+    `decode_impl='pallas'` uses the one-HBM-pass fused kernel
+    (ops/pallas/integral_decode_nhwc.py) — inference-only (no VJP),
+    TPU-only; requires the NHWC layout + softmax norm.
+
     Ref parity: HeatmapIntegralPose.forward (integral.py:102-205) — both
     hrnet and resnet branches of the reference compute identical math for
     norm_type='softmax' (the resnet branch's extra renormalize is a no-op).
     """
     B = heatmap.shape[0]
     dims = (depth_dim, height_dim, width_dim)
-    if heatmap.ndim == 4 and norm_type == "softmax":
+    if heatmap.ndim == 4 and norm_type == "softmax" and decode_impl == "pallas":
+        from ..ops.pallas.integral_decode_nhwc import (
+            fused_heatmap_expectations_nhwc,
+        )
+
+        uvd = fused_heatmap_expectations_nhwc(heatmap, num_joints, depth_dim)
+    elif heatmap.ndim == 4 and norm_type == "softmax":
         # layout-native fast path: no transpose of the heatmap volume
         uvd = heatmap_expectations_nhwc(heatmap, num_joints, depth_dim)
     else:
