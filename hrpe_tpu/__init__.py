@@ -36,3 +36,25 @@ import jax as _jax
 # metrics). Force full f32 precision for f32 matmuls; the model's conv
 # stack explicitly runs in bfloat16 via its dtype and is unaffected.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# The hosted axon TPU plugin overrides JAX_PLATFORMS at registration, so
+# the usual `JAX_PLATFORMS=cpu` escape hatch silently lands on the TPU.
+# HRPE_FORCE_CPU=1 pins the CPU backend reliably (used by CPU-side tools
+# and tests running next to a TPU-occupying training job).
+import os as _os
+
+if _os.environ.get("HRPE_FORCE_CPU"):
+    _jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the hosted TPU tunnel compiles the
+# big train/eval programs in minutes; caching them on disk makes every
+# script/test after the first pay ~0. Safe on CPU too (tests).
+_cache_dir = _os.environ.get(
+    "HRPE_JAX_CACHE", _os.path.expanduser("~/.cache/hrpe_jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # older jax without the knobs: cache is an optimization only
+    pass

@@ -33,6 +33,8 @@ class Config:
     n_epochs: int = 700
     n_dataloader_workers: int = 8
     clip_gradient: float = 10.0
+    # cadence of the unconditional 'latest' resume checkpoint (epochs)
+    latest_ckpt_every: int = 10
 
     # data
     urdf_robot_name: str = "panda"

@@ -17,12 +17,24 @@ from PIL import Image, ImageEnhance, ImageFilter
 
 
 def color_jitter(rgb: np.ndarray, rng) -> np.ndarray:
-    """Per-channel random gain (ref dream.py:346-354), p handled by caller."""
+    """Per-channel random gain (ref dream.py:346-354), p handled by caller.
+
+    Hot path of the train-time CPU pipeline: uses the native fused kernel
+    (native/crop_resize.cpp channel_gain_batch — one pass, no f32
+    temporaries) when the shared library is available, else numpy."""
     c = 2 * rng.random_sample()
     lo, hi = 1 - c, 1 + c
+    gains = np.asarray([rng.uniform(lo, hi) for _ in range(3)], np.float32)
+
+    from ..native import channel_gain_batch
+
+    if rgb.dtype == np.uint8:
+        out = channel_gain_batch(rgb[None].copy(), gains)
+        if out is not None:
+            return out[0]
     out = rgb.astype(np.float32).copy()
     for ch in range(3):
-        out[..., ch] = np.clip(out[..., ch] * rng.uniform(lo, hi), 0, 255)
+        out[..., ch] = np.clip(out[..., ch] * gains[ch], 0, 255)
     return out.astype(np.uint8)
 
 

@@ -21,15 +21,27 @@ from .dream import DreamDataset, collate
 
 
 class PartialSampler:
-    """Random subset of size epoch_size per epoch (ref samplers.py:7-20)."""
+    """Random subset of size epoch_size per epoch (ref samplers.py:7-20).
+
+    Extension over the reference: when epoch_size exceeds the dataset size
+    (tiny datasets, e.g. the bundled 6-image dofbot set), the epoch is
+    filled by tiling shuffled permutations so every index appears
+    ~epoch_size/n times — the per-item augmentations still randomize each
+    visit. The reference silently truncates to n (samplers.py:16)."""
 
     def __init__(self, n_items: int, epoch_size: Optional[int], seed: int = 0):
         self.n_items = n_items
-        self.epoch_size = min(epoch_size or n_items, n_items)
+        self.epoch_size = epoch_size or n_items
         self.rng = np.random.RandomState(seed)
 
     def epoch_indices(self) -> np.ndarray:
-        return self.rng.permutation(self.n_items)[: self.epoch_size]
+        if self.epoch_size <= self.n_items:
+            return self.rng.permutation(self.n_items)[: self.epoch_size]
+        reps = -(-self.epoch_size // self.n_items)
+        idx = np.concatenate(
+            [self.rng.permutation(self.n_items) for _ in range(reps)]
+        )
+        return idx[: self.epoch_size]
 
 
 class ListSampler:
@@ -68,7 +80,15 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 4,
+        process_shard: Optional[tuple] = None,
     ):
+        """`batch_size` is the GLOBAL batch size. In a multi-host run each
+        process loads only its `batch[index::count]` slice of every global
+        batch (the DistributedSampler semantics of ref
+        train_depthnet.py:83-97): samplers are identically seeded on all
+        hosts, so the index stream is globally consistent and disjointly
+        partitioned. `process_shard=(index, count)` defaults to
+        `(jax.process_index(), jax.process_count())`."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -78,6 +98,21 @@ class DataLoader:
         self.seed = seed
         self.sampler = sampler
         self._epoch = 0
+        if process_shard is None:
+            import jax
+
+            process_shard = (jax.process_index(), jax.process_count())
+        self.process_index, self.process_count = process_shard
+        if self.process_count > 1 and batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{self.process_count} processes"
+            )
+
+    @property
+    def local_batch_size(self) -> int:
+        """Per-process slice of the global batch."""
+        return self.batch_size // self.process_count
 
     def __len__(self):
         n = (
@@ -106,6 +141,9 @@ class DataLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.process_count > 1:
+            # this process loads only its strided slice of each global batch
+            batches = [b[self.process_index :: self.process_count] for b in batches]
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         job_q: "queue.Queue" = queue.Queue()

@@ -220,7 +220,7 @@ class Trainer:
         meters = defaultdict(AverageMeter)
         per_kp = defaultdict(lambda: AverageMeter())
         for batch in loader:
-            batch, n_real = _pad_batch(batch, self.cfg.batch_size)
+            batch, n_real = _pad_batch(batch, loader.local_batch_size)
             batch = shard_batch(self.mesh, batch)
             if self.pipeline == "full":
                 loss_dict, m_fk, m_int, _ = self.eval_fn(state, batch)
@@ -245,6 +245,20 @@ class Trainer:
                 alldis["deptherror"].extend(loss_dict.pop("depth_abs_err")[:n_real])
                 for k, v in loss_dict.items():
                     meters[k].add(np.mean(v), n_real)
+
+        # multi-host: every process saw a disjoint slice of the set; gather
+        # the per-image distance lists so AUC summaries are global (the
+        # TPU analogue of dist.all_reduce'd validation stats,
+        # ref train_depthnet.py:334-365)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            for d in (alldis, alldis_int):
+                for k in list(d.keys()):
+                    g = multihost_utils.process_allgather(
+                        np.asarray(d[k]), tiled=True
+                    )
+                    d[k] = list(np.asarray(g))
 
         ds = "_" + dsname
         if self.pipeline == "full":
@@ -300,7 +314,7 @@ class Trainer:
             t0 = time.time()
             meter = AverageMeter()
             for bi, batch in enumerate(train_loader):
-                batch, n_real = _pad_batch(batch, cfg.batch_size)
+                batch, n_real = _pad_batch(batch, train_loader.local_batch_size)
                 batch = shard_batch(self.mesh, batch)
                 rng, sub = jax.random.split(rng)
                 state, loss_dict = self.step_fn(state, batch, sub)
@@ -342,6 +356,9 @@ class Trainer:
                     "allreal", state, epoch, composite,
                     bests.get("allreal", -np.inf),
                 )
-            # last-state checkpoint for preemption-safe resume
-            ckpt.save_latest(state, epoch, bests)
+            # last-state checkpoint for preemption-safe resume; periodic —
+            # a full-state orbax write every epoch would dominate the
+            # wall-clock of short epochs on tiny datasets
+            if (epoch + 1) % cfg.latest_ckpt_every == 0 or epoch == n_epochs - 1:
+                ckpt.save_latest(state, epoch, bests)
         return state

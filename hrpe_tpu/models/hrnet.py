@@ -22,7 +22,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.quant import QuantConv, Requant, deq
+from ..ops.quant import QTensor, QuantConv, Requant, SpecRequest, deq
 from .resnet import BasicBlock, Bottleneck
 
 # stage configs (ref: backbones/configs/hrnet_w32.yaml:55-93 / hrnet_w48)
@@ -127,6 +127,34 @@ class HRModule(nn.Module):
     def __call__(self, xs, train: bool):
         ys = []
         for bi, x in enumerate(xs):
+            if (
+                self.qmode == "int8f"
+                and not train
+                and isinstance(x, QTensor)
+            ):
+                # fused serving: run this branch's whole block stack in one
+                # Pallas kernel — activations never leave VMEM between the
+                # 2*blocks convs (ops/pallas/conv_chain.py)
+                from ..ops.pallas.conv_chain import (
+                    basicblock_chain_int8,
+                    fold_basicblock_chain,
+                )
+
+                C = self.channels[bi]
+                specs = [
+                    BasicBlock(
+                        C, 1, False, self.dtype, qmode=self.qmode,
+                        name=f"branch{bi}_block{k}",
+                    )(SpecRequest(C), False)
+                    for k in range(self.blocks)
+                ]
+                w, s, s_out = fold_basicblock_chain(specs, x.scale)
+                B, H, W, _ = x.data.shape
+                q = basicblock_chain_int8(
+                    x.data.reshape(B, H * W, C), w, s, H, W
+                )
+                ys.append(QTensor(q.reshape(B, H, W, C), s_out))
+                continue
             for k in range(self.blocks):
                 x = BasicBlock(
                     self.channels[bi], 1, False, self.dtype, qmode=self.qmode,

@@ -18,7 +18,20 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.quant import QuantConv, Requant, deq
+from ..ops.quant import ConvSpec, QuantConv, Requant, SpecRequest, deq
+
+
+def _bn_affine(bn_module, C):
+    """Extract the serving-time per-channel affine (A, B) of a BatchNorm
+    submodule without touching its internals: bn(x) = x*A + B at
+    use_running_average=True, so B = bn(0) and A = bn(1) - B. Two calls on
+    (1,1,1,C) dummies — the module's parameter scope is created exactly as
+    in the normal forward, keeping checkpoints identical."""
+    zeros = jnp.zeros((1, 1, 1, C), jnp.float32)
+    ones = jnp.ones((1, 1, 1, C), jnp.float32)
+    B = bn_module(zeros).reshape(C).astype(jnp.float32)
+    A = bn_module(ones).reshape(C).astype(jnp.float32) - B
+    return A, B
 
 RESNET_SPECS = {
     # name: (bottleneck?, blocks per stage, stage widths)
@@ -77,6 +90,31 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if isinstance(x, SpecRequest):
+            # fused int8 serving: export this block's folded spec instead
+            # of computing (ops/pallas/conv_chain.py consumes it). Only the
+            # no-downsample stride-1 form (HRNet branch blocks) fuses.
+            assert not self.downsample and self.stride == 1, "unfused form"
+            C = self.planes
+            spec = {
+                "conv1": conv(C, 3, 1, "conv1", self.dtype, self.qmode)(x),
+                "bn1": _bn_affine(
+                    nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32, name="bn1"),
+                    C,
+                ),
+                "s_mid": Requant(self.qmode, name="rq1")(x),
+                "conv2": conv(C, 3, 1, "conv2", self.dtype, self.qmode)(
+                    SpecRequest(C)
+                ),
+                "bn2": _bn_affine(
+                    nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32, name="bn2"),
+                    C,
+                ),
+                "s_out": Requant(self.qmode, name="rq_out")(x),
+            }
+            return spec
         residual = x
         y = conv(self.planes, 3, self.stride, "conv1", self.dtype, self.qmode)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn1")(y)

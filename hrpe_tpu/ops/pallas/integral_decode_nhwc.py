@@ -7,22 +7,27 @@ lib/utils/integral.py:112-205) is HBM-bandwidth-bound: the stock XLA
 lowering of models/integral.py:heatmap_expectations_nhwc reads that
 volume once for the max pass and again for each fused reduction group.
 
-This kernel performs the WHOLE decode in one HBM pass: each grid program
-loads one image's heatmap tile (H*W, K*D) into VMEM and produces the
-per-keypoint sums
+Two kernels perform the WHOLE decode in one HBM pass:
 
-    S_k  = sum_{h,w,d} e               Ez_k = sum e * d
-    Ex_k = sum e * w                   Ey_k = sum e * h
-    with e = exp(hm - max_k hm)
+  * whole-image kernel (grid (B,)): loads one image's (H*W, K*D) tile
+    into VMEM, one MXU contraction against a [1, h, w] row-weight matrix
+    plus a per-keypoint block matrix. Fastest when the tile + two f32
+    temporaries fit VMEM.
+  * per-keypoint kernel (grid (B, K)): loads one keypoint's (H*W, D)
+    slab at a time (~10x smaller), so arbitrarily large K*D stays inside
+    the VMEM budget. Selected automatically above _WHOLE_TILE_VMEM_BYTES.
 
-via two tiny MXU contractions (row-weight and column-weight matrices);
-u/v/d normalization happens outside on (B, K) scalars. Numerics match
-heatmap_expectations_nhwc (same channel convention c = k*D + d, f32
+Numerics match heatmap_expectations_nhwc (channel c = k*D + d, f32
 accumulation); tests/test_pallas_ops.py asserts equality and the full-net
 serving path uses it via models/integral.py (decode_impl='pallas').
 
-The kernel is inference-only (no custom VJP); training keeps the jnp
-reference implementation, whose gradient XLA fuses adequately.
+Differentiation: the op carries a custom VJP whose backward pass defers
+to the jnp reference implementation (one recompute), so reaching this op
+under jax.grad works instead of dying in 'no differentiation rule for
+pallas_call'; training still uses decode_impl='jnp' directly.
+
+Testing hook: set module-level FORCE_INTERPRET = True to run the kernels
+in interpreter mode regardless of caller flags (used by tests on CPU).
 """
 
 from __future__ import annotations
@@ -35,8 +40,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# testing hook: force interpreter mode (read at trace time)
+FORCE_INTERPRET = False
 
-def _make_kernel(K: int, D: int):
+# above this estimated VMEM footprint the whole-image kernel risks Mosaic
+# compile failure on 16 MB-VMEM parts; switch to the per-keypoint kernel
+_WHOLE_TILE_VMEM_BYTES = 24 * 1024 * 1024
+
+
+def _make_whole_kernel(K: int, D: int):
     def kernel(hm_ref, rows_ref, cols_ref, out_ref):
         """hm_ref: (1, HW, K*D); rows_ref: (HW, 4) [1 h w pad];
         cols_ref: (K*D, 2K) [block one-hot | d * block one-hot];
@@ -68,38 +80,54 @@ def _make_kernel(K: int, D: int):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_joints", "depth_dim", "interpret")
-)
-def fused_heatmap_expectations_nhwc(
-    hm: jax.Array, num_joints: int, depth_dim: int, interpret: bool = False
-) -> jax.Array:
-    """NHWC head output (B, H, W, K*D) -> normalized uvd (B, K, 3).
+def _make_per_k_kernel(D: int):
+    def kernel(hm_ref, rows_ref, out_ref):
+        """hm_ref: (1, HW, 1, D) one keypoint's slab; rows_ref: (HW, 4);
+        out_ref: (1, 1, 8) = [S, Ey, Ex, Ez, 0, 0, 0, 0]."""
+        x = hm_ref[0, :, 0, :].astype(jnp.float32)  # (HW, D)
+        m = jnp.max(x)
+        e = jnp.exp(x - m)  # (HW, D)
+        a = jax.lax.dot_general(
+            e, rows_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, 4): [S_d, Ey_d, Ex_d, pad]
+        d_idx = jax.lax.broadcasted_iota(jnp.float32, (D, 1), 0)
+        S = jnp.sum(a[:, 0:1])
+        Ey = jnp.sum(a[:, 1:2])
+        Ex = jnp.sum(a[:, 2:3])
+        Ez = jnp.sum(a[:, 0:1] * d_idx)
+        row = jnp.concatenate(
+            [
+                jnp.reshape(S, (1, 1)), jnp.reshape(Ey, (1, 1)),
+                jnp.reshape(Ex, (1, 1)), jnp.reshape(Ez, (1, 1)),
+                jnp.zeros((1, 4), jnp.float32),
+            ],
+            axis=1,
+        )  # (1, 8)
+        out_ref[0] = row
 
-    One-HBM-pass twin of models.integral.heatmap_expectations_nhwc
-    (channel = k * D + d, matching the reference's NCHW reshape,
-    lib/utils/integral.py:116-122).
-    """
-    B, H, W, KD = hm.shape
-    K, D = num_joints, depth_dim
-    assert KD == K * D, (KD, K, D)
-    HW = H * W
+    return kernel
 
-    # row-weight matrix [1, h, w, 0] and column-weight matrix
-    # [block one-hot | d * block one-hot], built host-side (constants)
-    r = np.arange(HW)
-    rows = np.stack(
-        [np.ones(HW), r // W, r % W, np.zeros(HW)], axis=1
+
+def _rows_matrix(H: int, W: int) -> np.ndarray:
+    r = np.arange(H * W)
+    return np.stack(
+        [np.ones(H * W), r // W, r % W, np.zeros(H * W)], axis=1
     ).astype(np.float32)  # (HW, 4)
+
+
+def _decode_whole(hm, K, D, interpret):
+    B, H, W, KD = hm.shape
+    HW = H * W
     c = np.arange(KD)
     blk = (c // D)[:, None] == np.arange(K)[None, :]  # (KD, K)
     cols = np.concatenate(
         [blk.astype(np.float32), (c % D)[:, None] * blk.astype(np.float32)],
         axis=1,
     )  # (KD, 2K)
-
     out = pl.pallas_call(
-        _make_kernel(K, D),
+        _make_whole_kernel(K, D),
         out_shape=jax.ShapeDtypeStruct((B, 8, 2 * K), jnp.float32),
         grid=(B,),
         in_specs=[
@@ -112,13 +140,80 @@ def fused_heatmap_expectations_nhwc(
         out_specs=pl.BlockSpec((1, 8, 2 * K), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(hm.reshape(B, HW, KD), jnp.asarray(rows), jnp.asarray(cols))
-
+    )(hm.reshape(B, HW, KD), jnp.asarray(_rows_matrix(H, W)), jnp.asarray(cols))
     s = jnp.maximum(out[:, 0, :K], 1e-30)  # (B, K)
     ey = out[:, 1, :K]
     ex = out[:, 2, :K]
     ez = out[:, 0, K:]
+    return s, ey, ex, ez
+
+
+def _decode_per_k(hm, K, D, interpret):
+    B, H, W, KD = hm.shape
+    HW = H * W
+    out = pl.pallas_call(
+        _make_per_k_kernel(D),
+        out_shape=jax.ShapeDtypeStruct((B, K, 8), jnp.float32),
+        grid=(B, K),
+        in_specs=[
+            pl.BlockSpec((1, HW, 1, D), lambda i, k: (i, 0, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HW, 4), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8), lambda i, k: (i, k, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(hm.reshape(B, HW, K, D), jnp.asarray(_rows_matrix(H, W)))
+    s = jnp.maximum(out[:, :, 0], 1e-30)
+    ey = out[:, :, 1]
+    ex = out[:, :, 2]
+    ez = out[:, :, 3]
+    return s, ey, ex, ez
+
+
+def _fused_impl(hm, num_joints, depth_dim, interpret):
+    B, H, W, KD = hm.shape
+    K, D = num_joints, depth_dim
+    assert KD == K * D, (KD, K, D)
+    interpret = bool(interpret) or FORCE_INTERPRET
+    vmem_est = H * W * KD * (hm.dtype.itemsize + 8)  # tile + x/e f32 temps
+    if vmem_est <= _WHOLE_TILE_VMEM_BYTES:
+        s, ey, ex, ez = _decode_whole(hm, K, D, interpret)
+    else:
+        s, ey, ex, ez = _decode_per_k(hm, K, D, interpret)
     u = ex / (s * W)
     v = ey / (s * H)
     d = ez / (s * D)
     return jnp.stack([u, v, d], axis=-1) - 0.5
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_heatmap_expectations_nhwc(
+    hm: jax.Array, num_joints: int, depth_dim: int, interpret: bool = False
+) -> jax.Array:
+    """NHWC head output (B, H, W, K*D) -> normalized uvd (B, K, 3).
+
+    One-HBM-pass twin of models.integral.heatmap_expectations_nhwc
+    (channel = k * D + d, matching the reference's NCHW reshape,
+    lib/utils/integral.py:116-122). Differentiable: the VJP recomputes
+    through the jnp reference (one extra forward) — intended for the odd
+    eval-inside-optimization caller; training paths use the jnp impl.
+    """
+    return _fused_impl(hm, num_joints, depth_dim, interpret)
+
+
+def _fused_fwd(hm, num_joints, depth_dim, interpret):
+    return _fused_impl(hm, num_joints, depth_dim, interpret), hm
+
+
+def _fused_bwd(num_joints, depth_dim, interpret, hm, g):
+    from ...models.integral import heatmap_expectations_nhwc
+
+    _, vjp = jax.vjp(
+        lambda h: heatmap_expectations_nhwc(h, num_joints, depth_dim), hm
+    )
+    return (vjp(g)[0],)
+
+
+fused_heatmap_expectations_nhwc.defvjp(_fused_fwd, _fused_bwd)

@@ -43,7 +43,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-QMODES = (None, "calib", "int8")
+QMODES = (None, "calib", "int8", "int8f")
+# 'int8f' == 'int8' plus fused residual-block chains: conv trunks execute
+# whole block stacks in one Pallas kernel (ops/pallas/conv_chain.py) so
+# activations never round-trip HBM between convs. QuantConv/Requant treat
+# it exactly like 'int8'; block/module classes key the fused path off it.
+INT8_MODES = ("int8", "int8f")
 
 
 class QTensor(NamedTuple):
@@ -51,6 +56,25 @@ class QTensor(NamedTuple):
 
     data: jax.Array  # int8, NHWC
     scale: jax.Array  # () f32; dequantized value = data * scale
+
+
+class SpecRequest(NamedTuple):
+    """Sentinel input: ask a quantized module for its folded serving spec
+    instead of a forward pass (used by the fused int8 serving path to
+    extract weights/scales through the normal flax parameter scopes, so
+    parameter names/shapes — and therefore checkpoints — are untouched).
+    `cin` supplies the input channel count that shape inference would
+    otherwise read off the activation."""
+
+    cin: int
+
+
+class ConvSpec(NamedTuple):
+    """QuantConv serving spec: int8 weights + per-out-channel scales."""
+
+    wq: jax.Array  # (kh, kw, cin, cout) int8
+    sw: jax.Array  # (cout,) f32
+    bias: jax.Array | None
 
 
 def deq(x, dtype=jnp.bfloat16):
@@ -84,6 +108,9 @@ class Requant(nn.Module):
         out_max = self.variable(
             "quant", "out_max", lambda: jnp.zeros((), jnp.float32)
         )
+        if isinstance(x, SpecRequest):
+            # fused serving path asks only for the calibrated scale
+            return jnp.maximum(out_max.value, 1e-6) / 127.0
         if self.qmode == "calib":
             if not self.is_initializing():
                 out_max.value = jnp.maximum(
@@ -113,7 +140,7 @@ class QuantConv(nn.Module):
     def __call__(self, x):
         assert self.qmode in QMODES, self.qmode
         kh, kw = self.kernel_size
-        cin = _shape_of(x)[-1]
+        cin = x.cin if isinstance(x, SpecRequest) else _shape_of(x)[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -127,7 +154,14 @@ class QuantConv(nn.Module):
         )
         dn = ("NHWC", "HWIO", "NHWC")
 
-        if self.qmode == "int8":
+        if isinstance(x, SpecRequest):
+            # fused serving path: return quantized weights, don't compute
+            wmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+            sw = jnp.maximum(wmax, 1e-12) / 127.0
+            wq = jnp.round(kernel * (1.0 / sw)).astype(jnp.int8)
+            return ConvSpec(wq, sw, bias)
+
+        if self.qmode in INT8_MODES:
             if isinstance(x, QTensor):
                 # pipelined input: already int8, scale travels with it
                 xq, sx = x.data, x.scale

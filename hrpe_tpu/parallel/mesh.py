@@ -47,8 +47,19 @@ def shard_batch(mesh: Mesh, batch):
 
     Equivalent of DistributedSampler + per-rank loaders
     (train_depthnet.py:83-97): one global batch, split over devices.
+
+    Multi-host: each process holds only its slice of the global batch
+    (data.loader.DataLoader slices indices by process); the slices are
+    assembled into one global jax.Array via
+    make_array_from_process_local_data — addressable shards come from
+    local memory, nothing crosses DCN for input loading.
     """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -92,8 +92,14 @@ def _stub_urdf_robot():
     sys.modules["utils.urdf_robot"] = mod
 
 
-def _make_ref_model(backbone_name: str):
+def _make_ref_model(backbone_name: str, image_size: int = 128):
     import torch
+
+    # pin intra-op threads: the round-2 flake (garbage-scale deltas ONLY
+    # under concurrent CPU load, same test green in isolation) points at
+    # thread-count-dependent behavior, not the importer — an importer
+    # layout bug would fail deterministically every run (VERDICT r2 #3)
+    torch.set_num_threads(1)
 
     _shim_easydict()
     _shim_torchvision()
@@ -103,9 +109,14 @@ def _make_ref_model(backbone_name: str):
     torch.Tensor.cuda = lambda self, *a, **k: self
     if REF + "/lib" not in sys.path:
         sys.path.insert(0, REF + "/lib")
+    # per-test module isolation: drop any previously imported reference
+    # modules so every construction starts from pristine module state
+    for name in [m for m in sys.modules if m.split(".")[0] in ("models", "dataset", "utils")]:
+        if name != "utils.urdf_robot":  # keep the stub registered above
+            del sys.modules[name]
     cwd = os.getcwd()
     os.chdir(REF)  # hrnet stage config is loaded relative to cwd
-    real_get_hrnet = None
+    real_get_hrnet = real_get_resnet = None
     try:
         import models.full_net as ref_full_net
         from dataset.const import INITIAL_JOINT_ANGLE
@@ -127,7 +138,7 @@ def _make_ref_model(backbone_name: str):
                 rootnet_backbone_name="hrnet32",
                 use_rpmg=False,
                 n_iter=4,
-                other_image_size=256,
+                other_image_size=image_size,
                 bbox_3d_shape=[1300, 1300, 1300],
                 reference_keypoint_id=3,
                 fix_root=True,
@@ -150,8 +161,12 @@ def _make_ref_model(backbone_name: str):
         }
         model = ref_full_net.RootNetwithRegInt(init_param_dict, args)
     finally:
+        # restore EVERY monkeypatch (round 2 restored only get_hrnet, so a
+        # second in-process construction wrapped the wrapper — VERDICT r2 #3)
         if real_get_hrnet is not None:
             ref_full_net.get_hrnet = real_get_hrnet
+        if real_get_resnet is not None:
+            ref_full_net.get_resnet = real_get_resnet
         os.chdir(cwd)
 
     # randomize weights & BN stats so the import is meaningfully exercised
@@ -192,14 +207,18 @@ def test_fullnet_forward_parity(backbone):
     from hrpe_tpu.models import FullNetConfig, build_full_net
     from hrpe_tpu.utils.checkpoint_io import import_state_dict, translate_fullnet_key
 
-    ref = _make_ref_model(backbone)
+    # 128^2 inputs: every weight mapping (deconv flip, depth_layer
+    # conv->Dense, fc heads) is size-agnostic, and the test runs ~4x
+    # faster than at 256^2 (VERDICT r2 #5)
+    S = 128
+    ref = _make_ref_model(backbone, image_size=S)
 
     B = 2
     rng = np.random.RandomState(1)
-    x = rng.rand(B, 3, 256, 256).astype(np.float32)
+    x = rng.rand(B, 3, S, S).astype(np.float32)
     k = (1000.0 + 200.0 * rng.rand(B)).astype(np.float32)
     K = np.tile(
-        np.asarray([[320.0, 0, 128.0], [0, 320.0, 128.0], [0, 0, 1]], np.float32),
+        np.asarray([[320.0, 0, 64.0], [0, 320.0, 64.0], [0, 0, 1]], np.float32),
         (B, 1, 1),
     )
     with torch.no_grad():
@@ -213,7 +232,7 @@ def test_fullnet_forward_parity(backbone):
 
     cfg = FullNetConfig(
         robot_type="panda", backbone_name=backbone,
-        rootnet_backbone_name="hrnet32", image_size=256,
+        rootnet_backbone_name="hrnet32", image_size=S,
     )
     fmodel = build_full_net(cfg)  # f32 for parity
     xn = jnp.asarray(x.transpose(0, 2, 3, 1))
