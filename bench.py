@@ -5,15 +5,23 @@ Prints one JSON line. The metric mirrors the reference's FPS measurement
 of the flagship RootNetwithRegInt (hrnet32 rootnet + resnet50 regression,
 256x256 inputs), jitted once and timed steady-state.
 
-Two serving configurations are measured:
-  * bf16 — the training-numerics path.
-  * int8 — the w8a8 serving path (ops/quant.py): per-channel weight
-    scales, per-tensor activation scales calibrated on the bench batch,
-    int8 MXU convs (~2x bf16 on v5e, measured). The int8 number is the
-    headline ONLY if a fidelity gate passes: max |uvd_int8 - uvd_bf16|
-    < 1/64 (one integral-heatmap cell) on the same inputs — i.e. the
-    quantized model localizes every keypoint to the same heatmap cell.
-Both values are always reported in the JSON.
+Serving configurations measured:
+  * bf16  — the training-numerics path (pallas fused integral decode).
+  * int8  — w8a8 (ops/quant.py): per-channel weight scales, per-tensor
+    activation scales, int8 MXU convs.
+  * int8f — int8 plus fused Pallas residual-block chains
+    (ops/pallas/conv_chain.py): whole BasicBlock/Bottleneck stacks run
+    VMEM-resident, killing the requantize HBM round-trips.
+
+Weights: the trained checkpoint (experiments/dofbot_full/ckpt/best_dr)
+when present, else random init. Calibration: real dataset images
+(data/dofbot_synth_*) when present, else the random bench batch.
+
+Fidelity gate (per quantized config, against the bf16 model on the same
+inputs): max |uvd delta| < 1/64 (one integral-heatmap cell) always; with
+trained weights additionally depth/trans < 2 cm, pose < 0.02 rad,
+rot < 0.02 (6D units). The headline is the fastest configuration that
+passes its gate; every configuration's number is reported.
 
 Timing notes for this hosted TPU runtime: block_until_ready returns
 early, identical dispatches are memoized, and every dispatch+fetch pays a
@@ -23,6 +31,7 @@ single device->host fetch; the RTT is amortized over M forwards.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -33,6 +42,10 @@ BATCH = 256
 BASELINE_IPS = 5000.0
 M = 8
 UVD_GATE = 1.0 / 64.0
+TRAINED_GATES = {"depth": 0.02, "trans": 0.02, "pose": 0.02, "rot": 0.02}
+
+CKPT_DIR = "experiments/dofbot_full/ckpt"
+CALIB_DATA = "data/dofbot_synth_train_dr"
 
 
 def time_forward(model, variables, reg, root, k, K):
@@ -60,69 +73,185 @@ def time_forward(model, variables, reg, root, k, K):
     return float(np.median(times)) / M
 
 
+def load_real_batch():
+    """Tile the on-disk dataset's preprocessed crops to BATCH images.
+    Returns (reg, root, k, K) or None."""
+    if not os.path.isdir(CALIB_DATA):
+        return None
+    try:
+        from hrpe_tpu.data.dream import DreamDataset, collate
+        from hrpe_tpu.engine import losses as L
+
+        ds = DreamDataset(CALIB_DATA, robot="dofbot")
+        rng = np.random.RandomState(0)
+        samples = [ds.__getitem__(i % len(ds), rng=rng) for i in range(min(16, BATCH))]
+        b = collate(samples)
+        reps = -(-BATCH // len(samples))
+
+        def tile(x):
+            return np.concatenate([x] * reps, 0)[:BATCH]
+
+        reg = jnp.asarray(tile(b["other_images"]), jnp.float32) / 255.0
+        root = jnp.asarray(tile(b["root_images"]), jnp.float32) / 255.0
+        k = jnp.asarray(
+            L.k_values(
+                jnp.asarray(tile(b["root_bbox_strict_bounded"])),
+                jnp.asarray(tile(b["root_K"])),
+            ),
+            jnp.float32,
+        )
+        K = jnp.asarray(tile(b["other_K"]), jnp.float32)
+        return reg, root, k, K
+    except Exception as e:  # noqa: BLE001 — bench must not die on data issues
+        print(f"# calib data load failed ({e}); falling back to random", flush=True)
+        return None
+
+
 def main():
     from hrpe_tpu.models import FullNetConfig, build_full_net
 
+    # dofbot heads (nkpt 8 / dof 6) so the trained on-disk checkpoint and
+    # real dataset crops slot straight in; the trunk — where all the
+    # FLOPs/time are — is the same flagship hrnet32+resnet50 at 256^2
+    # regardless of robot (head deltas are <0.1% of the compute)
     cfg = FullNetConfig(
-        robot_type="panda",
+        robot_type="dofbot",
         backbone_name="resnet50",
         rootnet_backbone_name="hrnet32",
         image_size=256,
+        reference_keypoint_id=1,
     )
-    bf16 = build_full_net(cfg, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
-    reg = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
-    root = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
-    k = jnp.full((BATCH,), 1000.0, jnp.float32)
-    K = jnp.tile(
-        jnp.asarray(
-            [[320.0, 0.0, 128.0], [0.0, 320.0, 128.0], [0.0, 0.0, 1.0]],
-            jnp.float32,
-        ),
-        (BATCH, 1, 1),
-    )
+    real = load_real_batch()
+    if real is not None:
+        reg, root, k, K = real
+    else:
+        reg = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
+        root = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
+        k = jnp.full((BATCH,), 1000.0, jnp.float32)
+        K = jnp.tile(
+            jnp.asarray(
+                [[320.0, 0.0, 128.0], [0.0, 320.0, 128.0], [0.0, 0.0, 1.0]],
+                jnp.float32,
+            ),
+            (BATCH, 1, 1),
+        )
+
+    def build(qmode=None):
+        return build_full_net(
+            cfg, dtype=jnp.bfloat16, qmode=qmode, decode_impl="pallas"
+        )
+
+    bf16 = build()
     variables = jax.jit(lambda r: bf16.init(r, reg, root, k, K, train=False))(
         jax.random.PRNGKey(0)
     )
 
-    dt_bf16 = time_forward(bf16, variables, reg, root, k, K)
+    # trained weights when available (real activation statistics make the
+    # int8 calibration and the fidelity gates meaningful)
+    trained = False
+    best = os.path.join(CKPT_DIR, "best_dr")
+    if os.path.isdir(best):
+        try:
+            import orbax.checkpoint as ocp
 
-    # --- int8 serving path: calibrate scales on the bench batch ---------
-    calib = build_full_net(cfg, dtype=jnp.bfloat16, qmode="calib")
+            raw = ocp.StandardCheckpointer().restore(os.path.abspath(best))
+            loaded = raw.get("params"), raw.get("batch_stats")
+            if loaded[0] is None and "state" in raw:
+                loaded = raw["state"].get("params"), raw["state"].get("batch_stats")
+            if loaded[0] is not None:
+                pshape = jax.tree.map(lambda x: None, variables["params"])
+                try:
+                    variables = {
+                        "params": jax.tree.map(
+                            lambda _, v: jnp.asarray(v), pshape, loaded[0]
+                        ),
+                        "batch_stats": jax.tree.map(
+                            lambda v: jnp.asarray(v), loaded[1]
+                        ),
+                    }
+                    trained = True
+                except Exception:
+                    pass
+        except Exception as e:  # noqa: BLE001
+            print(f"# checkpoint load failed ({e}); using random init", flush=True)
+
+    # --- calibrate activation scales on the (real when possible) batch --
+    calib = build(qmode="calib")
     qvars = jax.jit(
         lambda v, a, b, kk, KK: calib.apply(
             v, a, b, kk, KK, train=False, mutable=["quant"]
         )
     )(variables, reg, root, k, K)[1]
-    int8 = build_full_net(cfg, dtype=jnp.bfloat16, qmode="int8")
-    v8 = {**variables, **qvars}
-    dt_int8 = time_forward(int8, v8, reg, root, k, K)
 
-    # fidelity gate: keypoint uvd must stay within one heatmap cell
+    results = {}
+    out_ref = None
+
     @jax.jit
-    def uvd_delta(variables, v8, reg, root, k, K):
-        a = bf16.apply(variables, reg, root, k, K, train=False)["uvd"]
-        b = int8.apply(v8, reg, root, k, K, train=False)["uvd"]
-        return jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    def run_ref(v, a, b, kk, KK):
+        return bf16.apply(v, a, b, kk, KK, train=False)
 
-    delta = float(uvd_delta(variables, v8, reg, root, k, K))
-    int8_ok = delta < UVD_GATE
+    out_ref = jax.device_get(run_ref(variables, reg, root, k, K))
 
-    ips_bf16 = BATCH / dt_bf16
-    ips_int8 = BATCH / dt_int8
-    ips = ips_int8 if int8_ok else ips_bf16
+    dt_bf16 = time_forward(bf16, variables, reg, root, k, K)
+    results["bf16"] = {"ips": BATCH / dt_bf16, "ok": True, "deltas": {}}
+
+    for qmode in ("int8", "int8f"):
+        model = build(qmode=qmode)
+        v8 = {**variables, **qvars}
+        try:
+            out_q = jax.device_get(
+                jax.jit(
+                    lambda v, a, b, kk, KK, m=model: m.apply(
+                        v, a, b, kk, KK, train=False
+                    )
+                )(v8, reg, root, k, K)
+            )
+            deltas = {
+                key: float(
+                    np.max(
+                        np.abs(
+                            np.asarray(out_q[key], np.float32)
+                            - np.asarray(out_ref[key], np.float32)
+                        )
+                    )
+                )
+                for key in ("uvd", "depth", "trans", "pose", "rot")
+            }
+            ok = deltas["uvd"] < UVD_GATE
+            if trained:
+                for key, gate in TRAINED_GATES.items():
+                    ok = ok and deltas[key] < gate
+            dt = time_forward(model, v8, reg, root, k, K)
+            results[qmode] = {"ips": BATCH / dt, "ok": bool(ok), "deltas": deltas}
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            print(f"# {qmode} failed: {type(e).__name__}: {e}", flush=True)
+            results[qmode] = {"ips": 0.0, "ok": False, "deltas": {}}
+
+    headline = max(
+        (r["ips"] for r in results.values() if r["ok"]), default=results["bf16"]["ips"]
+    )
+    int8_best = max(results.get("int8", {}).get("ips", 0.0),
+                    results.get("int8f", {}).get("ips", 0.0))
     print(
         json.dumps(
             {
                 "metric": "fullnet_inference_images_per_sec_per_chip_b256",
-                "value": round(ips, 2),
+                "value": round(headline, 2),
                 "unit": "images/sec",
-                "vs_baseline": round(ips / BASELINE_IPS, 4),
-                "bf16_images_per_sec": round(ips_bf16, 2),
-                "int8_images_per_sec": round(ips_int8, 2),
-                "int8_uvd_delta": round(delta, 6),
-                "int8_fidelity_ok": bool(int8_ok),
+                "vs_baseline": round(headline / BASELINE_IPS, 4),
+                "bf16_images_per_sec": round(results["bf16"]["ips"], 2),
+                "int8_images_per_sec": round(results.get("int8", {}).get("ips", 0.0), 2),
+                "int8f_images_per_sec": round(results.get("int8f", {}).get("ips", 0.0), 2),
+                "int8_best_images_per_sec": round(int8_best, 2),
+                "int8_uvd_delta": results.get("int8", {}).get("deltas", {}).get("uvd"),
+                "int8f_uvd_delta": results.get("int8f", {}).get("deltas", {}).get("uvd"),
+                "int8f_deltas": results.get("int8f", {}).get("deltas", {}),
+                "int8_fidelity_ok": bool(results.get("int8", {}).get("ok", False)),
+                "int8f_fidelity_ok": bool(results.get("int8f", {}).get("ok", False)),
+                "trained_weights": trained,
+                "real_calibration": real is not None,
             }
         )
     )

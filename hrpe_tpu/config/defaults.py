@@ -35,6 +35,9 @@ class Config:
     clip_gradient: float = 10.0
     # cadence of the unconditional 'latest' resume checkpoint (epochs)
     latest_ckpt_every: int = 10
+    # sim2real: save the epoch's worst-IoU render-vs-seg overlay PNG
+    # (ref train_sim2real.py:587-594)
+    save_worst_vis: bool = True
 
     # data
     urdf_robot_name: str = "panda"

@@ -134,6 +134,60 @@ def make_sim2real_step(cfg, model, tx, robot, robot_mesh: RobotMesh, render_hw):
     return step
 
 
+def make_render_fn(cfg, model, robot, robot_mesh, render_hw):
+    """Jitted (variables, batch) -> per-sample silhouette renders (B,H,W).
+
+    Same prediction->render path as the training loss; used for the
+    worst-IoU visual dump (ref train_sim2real.py:587-594)."""
+    ref_id = cfg.reference_keypoint_id
+
+    @jax.jit
+    def render(variables, batch):
+        _, _, _, k_vals = assemble_gt(cfg, batch, robot, use_pnp=True)
+        out = model.apply(
+            variables,
+            batch["other_images"].astype(jnp.float32) / 255.0,
+            batch["root_images"].astype(jnp.float32) / 255.0,
+            k_vals,
+            batch["other_K"],
+            train=False,
+        )
+        q_d = jax.lax.stop_gradient(out["pose"])
+        base2cam = robot.root_to_base_pose(q_d, out["rot"], out["trans"], ref_id)
+        verts = robot_mesh.posed_verts(out["pose"], base2cam)
+        K_half = batch["K_original"] * RENDER_SCALE
+        K_half = K_half.at[:, 2, 2].set(1.0)
+        return jax.vmap(
+            lambda v, Kc: soft_silhouette(
+                v, robot_mesh.faces, Kc, render_hw, sigma=1e-4
+            )
+        )(verts, K_half)
+
+    return render
+
+
+def dump_worst_overlay(save_dir, epoch, image_rgb, seg_mask, render_mask, iou):
+    """Write the worst-IoU sample's render-vs-seg overlay PNG.
+
+    Red = CtRNet seg mask, green = silhouette render, gray = image —
+    the visual form of ref train_sim2real.py:587-594's worst-case saves.
+    """
+    from PIL import Image
+
+    H, W = seg_mask.shape
+    img = Image.fromarray(image_rgb.astype(np.uint8)).resize((W, H))
+    base = np.asarray(img, np.float32)
+    gray = base.mean(-1, keepdims=True) * 0.5
+    overlay = np.repeat(gray, 3, axis=-1)
+    overlay[..., 0] += 127.0 * np.asarray(seg_mask, np.float32)
+    overlay[..., 1] += 127.0 * np.clip(np.asarray(render_mask, np.float32), 0, 1)
+    out_dir = os.path.join(save_dir, "worst_vis")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"epoch{epoch:04d}_iou{iou:.3f}.png")
+    Image.fromarray(np.clip(overlay, 0, 255).astype(np.uint8)).save(path)
+    return path
+
+
 class Sim2RealTrainer:
     """Host loop for the sim2real pipeline (ref train_sim2real.py:30-731)."""
 
@@ -313,6 +367,10 @@ class Sim2RealTrainer:
             state, start_epoch, best = ckpt.resume_tag(ckpt_tag, state)
             print(f"resumed sim2real from epoch {start_epoch} (best {best:.4f})")
 
+        render_fn = make_render_fn(
+            cfg, self.model, self.robot, self.robot_mesh, render_hw
+        )
+
         n_epochs = n_epochs or cfg.n_epochs
         for epoch in range(start_epoch, n_epochs):
             state = set_learning_rate(state, cfg.lr * lr_factor(cfg, epoch))
@@ -321,6 +379,7 @@ class Sim2RealTrainer:
             loss_sum = jnp.float32(0.0)
             n_steps = 0
             worst_iou = jnp.float32(jnp.inf)
+            worst = None  # (iou, batch payload, sample idx, seg row)
             for batch in loader:
                 batch, n_real = _pad_batch(batch, cfg.batch_size)
                 images_orig = batch.pop("images_original")
@@ -332,12 +391,32 @@ class Sim2RealTrainer:
                 worst_iou = jnp.minimum(
                     worst_iou, jnp.min(loss_dict["iou_per_sample"][:n_real])
                 )
+                if cfg.save_worst_vis:
+                    # worst-sample payload for the epoch-end visual dump
+                    ious = np.asarray(loss_dict["iou_per_sample"][:n_real])
+                    i = int(ious.argmin())
+                    if worst is None or ious[i] < worst[0]:
+                        worst = (
+                            float(ious[i]),
+                            {k: np.asarray(v[i : i + 1]) for k, v in batch.items()},
+                            np.asarray(images_orig[i]),
+                            np.asarray(seg_masks[i]),
+                        )
                 n_steps += 1
             mean_loss = float(loss_sum) / max(n_steps, 1)
             writer.add_scalar("Train/loss_sim2real", mean_loss, epoch)
             # worst-case tracking (ref train_sim2real.py:587-594): the
             # epoch's minimum per-sample IoU flags degenerate renders
             writer.add_scalar("Train/worst_iou_sim2real", float(worst_iou), epoch)
+            if cfg.save_worst_vis and worst is not None:
+                iou_w, b1, img1, seg1 = worst
+                # pad the single sample back to the compiled batch size
+                bB = {
+                    k: np.repeat(v, cfg.batch_size, axis=0)
+                    for k, v in b1.items()
+                }
+                rmask = np.asarray(render_fn(state.variables, bB)[0])
+                dump_worst_overlay(save_dir, epoch, img1, seg1, rmask, iou_w)
             print(
                 f"sim2real epoch {epoch}: loss {mean_loss:.4f} "
                 f"(worst IoU {float(worst_iou):.3f})"

@@ -261,9 +261,30 @@ class HRNet(nn.Module):
         x = _conv(64, 3, 2, "stem_conv2", self.dtype)(x)
         x = _bn(train, self.dtype, "stem_bn2", self.qmode)(x)
         x = nn.relu(x)
-        for k in range(4):
-            x = Bottleneck(64, 1, k == 0, self.dtype, qmode=self.qmode,
-                           name=f"layer1_{k}")(x, train)
+        # int8: quantize once after the stem so layer1 pipelines int8
+        # (identity when qmode is None; mirrors ResNet's stem_rq)
+        x = Requant(self.qmode, name="stem_rq")(x)
+        if self.qmode == "int8f" and not train and isinstance(x, QTensor):
+            # fused serving for the 4 stem bottlenecks (64 -> 256)
+            from ..ops.pallas.conv_chain import (
+                bottleneck_chain_int8,
+                fold_bottleneck_chain,
+            )
+
+            specs = [
+                Bottleneck(64, 1, k == 0, self.dtype, qmode=self.qmode,
+                           name=f"layer1_{k}")(
+                    SpecRequest(64 if k == 0 else 256), False)
+                for k in range(4)
+            ]
+            blk, s_out = fold_bottleneck_chain(specs, x.scale)
+            B, H, W, C = x.data.shape
+            q = bottleneck_chain_int8(x.data.reshape(B, H * W, C), blk, H, W)
+            x = QTensor(q.reshape(B, H, W, 256), s_out)
+        else:
+            for k in range(4):
+                x = Bottleneck(64, 1, k == 0, self.dtype, qmode=self.qmode,
+                               name=f"layer1_{k}")(x, train)
 
         xs = [x]
         prev = (256,)

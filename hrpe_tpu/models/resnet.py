@@ -148,6 +148,42 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if isinstance(x, SpecRequest):
+            # fused int8 serving: export this block's folded spec
+            # (ops/pallas/conv_chain.py bottleneck_chain_int8 consumes it)
+            assert self.dilation == 1, "dilated bottlenecks are not fused"
+            P, C4, cin = self.planes, self.planes * 4, x.cin
+            spec = {
+                "conv1": QuantConv(P, (1, 1), use_bias=False, dtype=self.dtype,
+                                   qmode=self.qmode, name="conv1")(x),
+                "bn1": _bn_affine(
+                    nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32, name="bn1"), P),
+                "s1": Requant(self.qmode, name="rq1")(x),
+                "conv2": conv(P, 3, self.stride, "conv2", self.dtype, self.qmode)(
+                    SpecRequest(P)),
+                "bn2": _bn_affine(
+                    nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32, name="bn2"), P),
+                "s2": Requant(self.qmode, name="rq2")(x),
+                "conv3": QuantConv(C4, (1, 1), use_bias=False, dtype=self.dtype,
+                                   qmode=self.qmode, name="conv3")(SpecRequest(P)),
+                "bn3": _bn_affine(
+                    nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32, name="bn3"), C4),
+                "s_out": Requant(self.qmode, name="rq_out")(x),
+            }
+            if self.downsample:
+                spec["down_conv"] = QuantConv(
+                    C4, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype, qmode=self.qmode,
+                    name="down_conv",
+                )(SpecRequest(cin))
+                spec["down_bn"] = _bn_affine(
+                    nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 name="down_bn"), C4)
+            return spec
         residual = x
         y = QuantConv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, qmode=self.qmode, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=(jnp.float32 if train else self.dtype), name="bn1")(y)
@@ -201,6 +237,47 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         x = Requant(self.qmode, name="stem_rq")(x)
+
+        from ..ops.quant import QTensor
+
+        if (
+            self.qmode == "int8f"
+            and not train
+            and bottleneck
+            and isinstance(x, QTensor)
+        ):
+            # fused serving: each stage's bottlenecks run as VMEM-resident
+            # Pallas chains (ops/pallas/conv_chain.py), chunked to the
+            # kernel's weight budget; activations cross HBM once per chunk
+            from ..ops.pallas.conv_chain import (
+                bottleneck_chain_int8,
+                chunk_bottleneck_specs,
+                fold_bottleneck_chain,
+            )
+
+            B, H, W, _ = x.data.shape
+            q, s = x.data.reshape(B, H * W, x.data.shape[-1]), x.scale
+            in_ch = 64
+            for stage, (n_blocks, width) in enumerate(zip(blocks, widths)):
+                stride = 1 if stage == 0 else 2
+                specs = []
+                for b in range(n_blocks):
+                    down = b == 0 and (stride != 1 or in_ch != width * 4)
+                    cin = in_ch
+                    specs.append(
+                        block_cls(
+                            width, stride if b == 0 else 1, down, self.dtype,
+                            qmode=self.qmode, name=f"layer{stage + 1}_{b}",
+                        )(SpecRequest(cin), False)
+                    )
+                    in_ch = width * 4
+                for g in chunk_bottleneck_specs(specs, H, W):
+                    blk, s = fold_bottleneck_chain([specs[i] for i in g], s)
+                    st = stride if 0 in g else 1
+                    q = bottleneck_chain_int8(q, blk, H, W, st)
+                    if st == 2:
+                        H, W = H // 2, W // 2
+            return deq(QTensor(q.reshape(B, H, W, in_ch), s), self.dtype)
 
         in_ch = 64
         for stage, (n_blocks, width) in enumerate(zip(blocks, widths)):

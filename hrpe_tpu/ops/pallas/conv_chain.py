@@ -164,6 +164,201 @@ def basicblock_chain_int8(
 
 
 # ---------------------------------------------------------------------------
+# Bottleneck chains (ResNet-50/101/152 stages + HRNet stem layer1)
+# ---------------------------------------------------------------------------
+#
+# Per block: 1x1 (Cin->P) +BN+ReLU+rq, 3x3 stride s (P->P) +BN+ReLU+rq,
+# 1x1 (P->4P) +BN, residual (1x1 stride-s projection on the first block,
+# identity otherwise), ReLU+rq. Only the first block of a stage may have
+# stride 2 / a projection (ref lib/models/backbones/Resnet.py:5-68).
+# Heterogeneous weight shapes (block 0's Cin differs) are passed as
+# separate pallas inputs; scales are packed into one (nblk, 8, 4P) array
+# rows [a1 b1 a2 b2 a3 b3 ap bp] (P-wide rows zero-padded to 4P; for
+# identity-residual blocks row 6 carries the broadcast s_in/s_out).
+
+
+def _subsample2(x, H, W):
+    """(HW, C) -> (HW/4, C): keep even rows/cols (stride-2, SAME pad,
+    kernel anchored at top-left after the 3x3 halo is applied)."""
+    C = x.shape[-1]
+    return x.reshape(H // 2, 2, W // 2, 2, C)[:, 0, :, 0, :].reshape(
+        (H // 2) * (W // 2), C
+    )
+
+
+def _make_bottleneck_kernel(meta, H: int, W: int, stride: int):
+    """meta: per-block dicts {P, cin, has_proj} (static)."""
+
+    def kernel(*refs):
+        xq_ref = refs[0]
+        w_refs = refs[1:-2]
+        s_ref = refs[-2]
+        out_ref = refs[-1]
+        q = xq_ref[0]  # (HW_in, Cin) int8
+        wi = 0
+        h, w_ = H, W
+        for i, m in enumerate(meta):
+            P = m["P"]
+            w1 = w_refs[wi][:]; w2 = w_refs[wi + 1][:]; w3 = w_refs[wi + 2][:]
+            wi += 3
+            s = stride if i == 0 else 1
+            d1 = jax.lax.dot_general(
+                q, w1, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            q1 = _requant(jnp.maximum(d1 * s_ref[i, 0, :P] + s_ref[i, 1, :P], 0.0))
+            cat = _conv3x3_cat(q1, h, w_)
+            if s == 2:
+                cat = _subsample2(cat, h, w_)
+            d2 = jax.lax.dot_general(
+                cat, w2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            q2 = _requant(jnp.maximum(d2 * s_ref[i, 2, :P] + s_ref[i, 3, :P], 0.0))
+            y3 = jax.lax.dot_general(
+                q2, w3, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * s_ref[i, 4] + s_ref[i, 5]
+            if m["has_proj"]:
+                wp = w_refs[wi][:]
+                wi += 1
+                qs = _subsample2(q, h, w_) if s == 2 else q
+                res = jax.lax.dot_general(
+                    qs, wp, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * s_ref[i, 6] + s_ref[i, 7]
+            else:
+                res = q.astype(jnp.float32) * s_ref[i, 6]
+            q = _requant(jnp.maximum(y3 + res, 0.0))
+            if s == 2:
+                h, w_ = h // 2, w_ // 2
+        out_ref[0] = q
+
+    return kernel
+
+
+def bottleneck_chain_int8(
+    xq: jax.Array,
+    blocks: Sequence[dict],
+    height: int,
+    width: int,
+    stride: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run a chain of int8 Bottleneck blocks fully inside VMEM.
+
+    xq     : (B, HW, Cin) int8
+    blocks : per block {'w1': (Cin_i, P) i8, 'w2': (9P, P) i8,
+             'w3': (P, 4P) i8, 'wp': (Cin_i, 4P) i8 (first block only),
+             'scales': (8, 4P) f32}
+    stride : spatial stride of the FIRST block (1 or 2)
+    returns: (B, HW/stride^2, 4P) int8
+    """
+    B, HW, Cin = xq.shape
+    assert HW == height * width
+    meta = []
+    operands, specs = [], []
+    for i, b in enumerate(blocks):
+        P = b["w2"].shape[-1]
+        meta.append({"P": P, "cin": b["w1"].shape[0], "has_proj": "wp" in b})
+        for key in ("w1", "w2", "w3") + (("wp",) if "wp" in b else ()):
+            operands.append(b[key])
+            specs.append(
+                pl.BlockSpec(
+                    b[key].shape,
+                    lambda i, n=b[key].ndim: (0,) * n,
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    scales = jnp.stack([b["scales"] for b in blocks], 0)
+    specs.append(
+        pl.BlockSpec(scales.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    C_out = blocks[-1]["w3"].shape[-1]
+    HW_out = HW // (stride * stride)
+
+    fn = pl.pallas_call(
+        _make_bottleneck_kernel(meta, height, width, stride),
+        out_shape=jax.ShapeDtypeStruct((B, HW_out, C_out), jnp.int8),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, HW, Cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + specs,
+        out_specs=pl.BlockSpec((1, HW_out, C_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=bool(interpret) or FORCE_INTERPRET,
+    )
+    return fn(xq, *operands, scales)
+
+
+def fold_bottleneck_chain(specs: Sequence[dict], s_in: jax.Array):
+    """Fold Bottleneck serving specs (from Bottleneck.__call__ on a
+    SpecRequest) into bottleneck_chain_int8 operands.
+
+    Returns (blocks, s_out_last)."""
+    blocks = []
+    s = s_in
+    for sp in specs:
+        P = sp["conv2"].wq.shape[-1]
+        C4 = sp["conv3"].wq.shape[-1]
+        A1, B1 = sp["bn1"]; A2, B2 = sp["bn2"]; A3, B3 = sp["bn3"]
+        s1, s2, s_out = sp["s1"], sp["s2"], sp["s_out"]
+
+        def pad(v):
+            return jnp.pad(v, (0, C4 - v.shape[0]))
+
+        a1 = pad(s * sp["conv1"].sw * A1 / s1)
+        b1 = pad(B1 / s1)
+        a2 = pad(s1 * sp["conv2"].sw * A2 / s2)
+        b2 = pad(B2 / s2)
+        a3 = s2 * sp["conv3"].sw * A3 / s_out
+        b3 = B3 / s_out
+        if "down_conv" in sp:
+            Ap, Bp = sp["down_bn"]
+            ap = s * sp["down_conv"].sw * Ap / s_out
+            bp = Bp / s_out
+        else:
+            ap = jnp.broadcast_to(s / s_out, (C4,))
+            bp = jnp.zeros((C4,))
+        blk = {
+            "w1": sp["conv1"].wq.reshape(-1, P),
+            "w2": sp["conv2"].wq.reshape(9 * P, P),
+            "w3": sp["conv3"].wq.reshape(P, C4),
+            "scales": jnp.stack(
+                [a1, b1, a2, b2, a3, b3, ap, bp], 0
+            ).astype(jnp.float32),
+        }
+        if "down_conv" in sp:
+            blk["wp"] = sp["down_conv"].wq.reshape(-1, C4)
+        blocks.append(blk)
+        s = s_out
+    return blocks, s
+
+
+def chunk_bottleneck_specs(specs, height, width, budget_bytes=6 * 1024 * 1024):
+    """Split a stage's block list into groups whose weights fit the VMEM
+    budget (Mosaic may double-buffer inputs). Returns a list of index
+    groups; the first group owns the stage's stride."""
+    groups, cur, cur_bytes = [], [], 0
+    for i, sp in enumerate(specs):
+        nbytes = sum(
+            int(np.prod(sp[k].wq.shape))
+            for k in ("conv1", "conv2", "conv3", "down_conv")
+            if k in sp
+        )
+        if cur and cur_bytes + nbytes > budget_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(i)
+        cur_bytes += nbytes
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+# ---------------------------------------------------------------------------
 # scale folding: flax block specs -> kernel operands
 # ---------------------------------------------------------------------------
 

@@ -70,7 +70,23 @@ def main():
         "visualization_output/gt_pose_keypoints.png",
         s["images_original"], s["keypoints_2d_original"],
     )
-    print("wrote visualization_output/gt_pose_{mask,keypoints}.png")
+    # shaded (Lambert/Phong-style) render over the image — the host-side
+    # twin of the reference's pyrender textured visualization
+    # (ref urdf_robot.py:311-422, mesh_renderer.py:164-179)
+    from PIL import Image
+
+    from hrpe_tpu.render.shade import save_shaded_render
+
+    bg = np.asarray(
+        Image.fromarray(s["images_original"]).resize((W // 2, H // 2)),
+        np.uint8,
+    )
+    save_shaded_render(
+        "visualization_output/gt_pose_shaded.png",
+        rm, s["jointpose"], np.asarray(TCO[0]), K_half, (H // 2, W // 2),
+        background=(bg * 0.4).astype(np.uint8),
+    )
+    print("wrote visualization_output/gt_pose_{mask,keypoints,shaded}.png")
     print(f"mask coverage: {mask.mean():.4f}")
 
 

@@ -68,6 +68,124 @@ def test_reference_matches_real_convolution():
     np.testing.assert_array_equal(out.reshape(B, H, W, C), expect)
 
 
+def test_bottleneck_chain_matches_unfused():
+    # a 2-block mini-stage with stride-2 + projection on block 0 — the
+    # exact structure of a ResNet-50 stage / HRNet stem layer1
+    import flax.linen as nn
+
+    from hrpe_tpu.models.resnet import Bottleneck
+    from hrpe_tpu.ops.pallas.conv_chain import (
+        bottleneck_chain_int8,
+        fold_bottleneck_chain,
+    )
+    from hrpe_tpu.ops.quant import SpecRequest
+
+    class Stage(nn.Module):
+        qmode: str | None
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            if isinstance(x, tuple) and x and isinstance(x[0], SpecRequest):
+                # spec-extraction call: same module names -> same params
+                r0, r1 = x
+                return [
+                    Bottleneck(4, 2, True, jnp.bfloat16, qmode=self.qmode,
+                               name="b0")(r0, False),
+                    Bottleneck(4, 1, False, jnp.bfloat16, qmode=self.qmode,
+                               name="b1")(r1, False),
+                ]
+            x = Bottleneck(4, 2, True, jnp.bfloat16, qmode=self.qmode,
+                           name="b0")(x, train)
+            x = Bottleneck(4, 1, False, jnp.bfloat16, qmode=self.qmode,
+                           name="b1")(x, train)
+            return x
+
+    rng = np.random.RandomState(3)
+    B, H, W, Cin = 2, 8, 8, 8
+    x_f = jnp.asarray(rng.rand(B, H, W, Cin).astype(np.float32) * 2 - 1)
+
+    v = jax.jit(lambda r: Stage(None).init(r, x_f))(jax.random.PRNGKey(0))
+    qv = jax.jit(
+        lambda v, x: Stage("calib").apply(v, x, mutable=["quant"])
+    )(v, x_f)[1]
+    variables = {**v, **qv}
+
+    sx = jnp.max(jnp.abs(x_f)) / 127.0
+    xq = QTensor(jnp.clip(jnp.round(x_f / sx), -127, 127).astype(jnp.int8), sx)
+
+    out_unfused = Stage("int8f").apply(variables, xq)  # block-by-block path
+
+    specs = Stage("int8f").apply(
+        variables, (SpecRequest(Cin), SpecRequest(16))
+    )
+    blk, s_out = fold_bottleneck_chain(specs, xq.scale)
+    q = bottleneck_chain_int8(
+        xq.data.reshape(B, H * W, Cin), blk, H, W, stride=2, interpret=True
+    )
+
+    np.testing.assert_allclose(
+        float(out_unfused.scale), float(s_out), rtol=1e-6
+    )
+    a = np.asarray(out_unfused.data, np.int32).reshape(B, -1, 16)
+    b = np.asarray(q, np.int32)
+    diff = np.abs(a - b)
+    assert diff.mean() < 0.5, diff.mean()
+    assert diff.max() <= 4, diff.max()
+
+
+def test_full_net_int8f_matches_int8():
+    # end-to-end wiring: flagship model (hrnet32 rootnet + resnet50 reg)
+    # with every fused chain active, 64px inputs, interpret-mode kernels.
+    # int8f must track the unfused int8 path within quantization noise.
+    from hrpe_tpu.models import FullNetConfig, build_full_net
+
+    cfg = FullNetConfig(
+        robot_type="dofbot", backbone_name="resnet50",
+        rootnet_backbone_name="hrnet32", image_size=64,
+        reference_keypoint_id=1,
+    )
+    rng = np.random.RandomState(7)
+    B = 1
+    x = jnp.asarray(rng.rand(B, 64, 64, 3).astype(np.float32))
+    k = jnp.full((B,), 1000.0, jnp.float32)
+    Km = jnp.tile(
+        jnp.asarray([[80.0, 0, 32.0], [0, 80.0, 32.0], [0, 0, 1]], jnp.float32),
+        (B, 1, 1),
+    )
+    bf16 = build_full_net(cfg, dtype=jnp.bfloat16)
+    v = jax.jit(lambda r: bf16.init(r, x, x, k, Km, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    calib = build_full_net(cfg, dtype=jnp.bfloat16, qmode="calib")
+    qv = jax.jit(
+        lambda v, *a: calib.apply(v, *a, train=False, mutable=["quant"])
+    )(v, x, x, k, Km)[1]
+    variables = {**v, **qv}
+
+    outb = bf16.apply(variables, x, x, k, Km, train=False)
+    int8 = build_full_net(cfg, dtype=jnp.bfloat16, qmode="int8")
+    out8 = int8.apply(variables, x, x, k, Km, train=False)
+    cc.FORCE_INTERPRET = True
+    try:
+        int8f = build_full_net(cfg, dtype=jnp.bfloat16, qmode="int8f")
+        out8f = int8f.apply(variables, x, x, k, Km, train=False)
+    finally:
+        cc.FORCE_INTERPRET = False
+
+    # uvd within one heatmap cell of the unfused int8 path
+    duvd = np.abs(np.asarray(out8["uvd"]) - np.asarray(out8f["uvd"])).max()
+    assert duvd < 1.0 / 16.0, duvd
+    # fidelity anchor is the bf16 model: through a RANDOM (chaotic) deep
+    # net the int8 and int8f paths accumulate independent quantization
+    # noise, so comparing them to each other is meaningless for depth —
+    # what must hold is that the fused path is no less faithful to bf16
+    # than the unfused int8 path (measured: both ~1.8% on the hrnet feat)
+    db = np.asarray(outb["depth"], np.float32)
+    e8 = np.abs(np.asarray(out8["depth"], np.float32) - db).max()
+    e8f = np.abs(np.asarray(out8f["depth"], np.float32) - db).max()
+    assert e8f < 2.0 * e8 + 1e-3, (e8, e8f)
+
+
 def test_hrmodule_fused_matches_unfused():
     from hrpe_tpu.models.hrnet import HRModule
 

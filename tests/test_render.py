@@ -73,3 +73,38 @@ def test_robot_mesh_grad_wrt_joints():
     g = jax.grad(loss)(jnp.zeros(6, jnp.float32))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_phong_render_matches_silhouette():
+    # the shaded host-side render (render/shade.py) must cover the same
+    # pixels as the differentiable silhouette at a hard sigma
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hrpe_tpu.kinematics import load_robot
+    from hrpe_tpu.render import RobotMesh, default_link_meshes, soft_silhouette
+    from hrpe_tpu.render.shade import render_phong
+
+    robot = load_robot("dofbot")
+    rm = RobotMesh(robot, default_link_meshes(robot))
+    q = jnp.zeros((1, robot.dof))
+    base2cam = jnp.asarray(
+        [[1.0, 0, 0, 0], [0, 0, -1.0, 0.0], [0, 1.0, 0, 0.6], [0, 0, 0, 1.0]]
+    )[None]
+    verts = rm.posed_verts(q, base2cam)[0]
+    K = np.asarray([[120.0, 0, 64.0], [0, 120.0, 48.0], [0, 0, 1.0]])
+    hw = (96, 128)
+
+    img, zbuf = render_phong(np.asarray(verts), np.asarray(rm.faces), K, hw)
+    covered = np.isfinite(zbuf)
+    assert covered.any(), "nothing rendered"
+    assert img[covered].max() > 40  # lit pixels
+    assert (img[~covered] == 0).all()  # background untouched
+
+    sil = np.asarray(
+        soft_silhouette(verts, rm.faces, jnp.asarray(K), hw, sigma=1e-5)
+    )
+    hard = sil > 0.5
+    inter = (hard & covered).sum()
+    union = (hard | covered).sum()
+    assert inter / max(union, 1) > 0.7, inter / max(union, 1)

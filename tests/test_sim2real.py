@@ -70,3 +70,54 @@ def test_sim2real_step(tmp_path):
     p0 = jax.tree.leaves(state.params)[0]
     p1 = jax.tree.leaves(state2.params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_worst_case_visual_dump(tmp_path):
+    # the epoch-end worst-IoU overlay (ref train_sim2real.py:587-594):
+    # render the worst sample through make_render_fn and write the PNG
+    import os
+
+    from hrpe_tpu.engine.sim2real import dump_worst_overlay, make_render_fn
+
+    d = tmp_path / "dofbot-real2"
+    make_pickle_dataset(d, "dofbot", n=2)
+    ds = DreamDataset(
+        str(d), rootnet_resize_hw=(64, 64), other_resize_hw=(64, 64),
+        color_jitter=False, rgb_augmentation=False, occlusion_augmentation=False,
+        include_original=True,
+    )
+    batch = next(iter(DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)))
+
+    cfg = make_default_config()
+    cfg.urdf_robot_name = "dofbot"
+    cfg.reference_keypoint_id = 1
+    robot = load_robot("dofbot")
+    model = build_full_net(
+        FullNetConfig(
+            robot_type="dofbot", backbone_name="resnet18",
+            rootnet_backbone_name="resnet18", image_size=64,
+            reference_keypoint_id=1, p_dropout=0.0,
+        )
+    )
+    B, S = 2, 64
+    variables = jax.jit(
+        lambda r: model.init(
+            r, jnp.zeros((B, S, S, 3)), jnp.zeros((B, S, S, 3)),
+            jnp.ones((B,)), jnp.asarray(batch["other_K"]), train=False,
+        )
+    )(jax.random.PRNGKey(0))
+
+    rm = RobotMesh(robot, default_link_meshes(robot))
+    render_hw = (24, 32)
+    images_orig = batch.pop("images_original")
+    render_fn = make_render_fn(cfg, model, robot, rm, render_hw)
+    masks = render_fn(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert masks.shape == (B,) + render_hw
+
+    seg = np.zeros(render_hw, np.float32)
+    seg[5:15, 8:20] = 1.0
+    path = dump_worst_overlay(
+        str(tmp_path), 3, np.asarray(images_orig[0]), seg,
+        np.asarray(masks[0]), 0.123,
+    )
+    assert os.path.exists(path) and path.endswith(".png")
