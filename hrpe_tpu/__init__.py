@@ -56,5 +56,8 @@ try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # cache every backend's XLA artifacts (CPU included — the test suite
+    # compiles the same train/eval programs on every run)
+    _jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 except Exception:  # older jax without the knobs: cache is an optimization only
     pass

@@ -52,11 +52,19 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     grad-norm clip at cfg.clip_gradient (train_full.py:100-106).
     """
     tx = optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
-            optax.clip_by_global_norm(cfg.clip_gradient),
-            optax.adamw(learning_rate, weight_decay=cfg.weight_decay)
-            if cfg.weight_decay > 0
-            else optax.adam(learning_rate),
+        lambda learning_rate: optax.apply_if_finite(
+            optax.chain(
+                optax.clip_by_global_norm(cfg.clip_gradient),
+                optax.adamw(learning_rate, weight_decay=cfg.weight_decay)
+                if cfg.weight_decay > 0
+                else optax.adam(learning_rate),
+            ),
+            # skip (don't apply) any update containing inf/NaN gradients —
+            # one bad batch must not poison the whole run. The reference's
+            # detect_anomaly (train_depthnet.py:30) only DIAGNOSES; this
+            # keeps production training alive. Error out after this many
+            # consecutive bad steps.
+            max_consecutive_errors=100,
         )
     )(learning_rate=cfg.lr)
     return tx

@@ -115,6 +115,17 @@ def get_dataloaders(cfg) -> tuple:
     return train_loader, test_loaders
 
 
+def _count_notfinite(opt_state) -> int:
+    """Total updates skipped by optax.apply_if_finite (0 if absent)."""
+    total = 0
+    for leaf in jax.tree.leaves(
+        opt_state, is_leaf=lambda x: hasattr(x, "total_notfinite")
+    ):
+        if hasattr(leaf, "total_notfinite"):
+            total += int(leaf.total_notfinite)
+    return total
+
+
 def _pad_batch(batch: Dict[str, np.ndarray], multiple: int):
     """Pad the trailing partial batch to a fixed size (avoids recompiles);
     returns (padded_batch, real_count)."""
@@ -175,9 +186,46 @@ class Trainer:
             inputs = (jnp.zeros((B, S, S, 3)), jnp.ones((B,)))
         state = create_train_state(self.model, self.tx, jax.random.PRNGKey(0), inputs)
 
+        # pretrained-rootnet chaining from OUR depthnet checkpoints (orbax
+        # dir saved by the depthnet pipeline): backbone -> rootnet_backbone,
+        # depth_head/depth_fc -> depth_layer — the native analogue of the
+        # reference's .pk remap (full_net.py:487-500)
+        if (
+            self.pipeline == "full"
+            and cfg.pretrained_rootnet
+            and os.path.isdir(cfg.pretrained_rootnet)
+        ):
+            import orbax.checkpoint as ocp
+
+            raw = ocp.StandardCheckpointer().restore(
+                os.path.abspath(cfg.pretrained_rootnet)
+            )
+            params = dict(state.params)
+            bstats = dict(state.batch_stats)
+            n_loaded = 0
+            for col, dst in (("params", params), ("batch_stats", bstats)):
+                src = raw.get(col) or {}
+                if "backbone" in src and "rootnet_backbone" in dst:
+                    dst["rootnet_backbone"] = jax.tree.map(
+                        jnp.asarray, src["backbone"]
+                    )
+                    n_loaded += len(jax.tree.leaves(src["backbone"]))
+            dh = ((raw.get("params") or {}).get("depth_head") or {}).get("depth_fc")
+            if (
+                dh is not None
+                and "depth_layer" in params
+                and params["depth_layer"]["kernel"].shape == np.shape(dh["kernel"])
+            ):
+                params["depth_layer"] = jax.tree.map(jnp.asarray, dh)
+                n_loaded += 2
+            state = state.replace(params=params, batch_stats=bstats)
+            print(
+                f"loaded pretrained rootnet (orbax) {cfg.pretrained_rootnet}: "
+                f"{n_loaded} tensors"
+            )
         # pretrained-rootnet chaining (ref full_net.py:487-500: depthnet
         # .pk with 'backbone.' keys remapped into 'rootnet_backbone.')
-        if (
+        elif (
             self.pipeline == "full"
             and cfg.pretrained_rootnet
             and os.path.isfile(cfg.pretrained_rootnet)
@@ -325,7 +373,10 @@ class Trainer:
                         "Train/loss", loss, epoch * len(train_loader) + bi
                     )
             dt = time.time() - t0
-            print(f"epoch {epoch}: train loss {meter.mean:.4f} ({dt:.1f}s)")
+            n_bad = _count_notfinite(state.opt_state)
+            bad_note = f", skipped-nonfinite {n_bad}" if n_bad else ""
+            print(f"epoch {epoch}: train loss {meter.mean:.4f} ({dt:.1f}s{bad_note})")
+            writer.add_scalar("Train/skipped_nonfinite_updates", n_bad, epoch)
 
             auc_scores = {}
             for dsname, loader in test_loaders.items():

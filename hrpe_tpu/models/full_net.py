@@ -138,7 +138,13 @@ class RootNetwithRegInt(nn.Module):
             )
             self.root_feat_ch = feature_channels(c.rootnet_backbone_name)
         self.depth_num = len(c.kps_need_depth) if c.multi_kp else 1
-        self.depth_layer = nn.Dense(self.depth_num, dtype=self.dtype, name="depth_layer")
+        # tiny init (ref full_net.py:185-188 normal std=0.001, zero bias):
+        # keeps the untrained depth near 0 m instead of +-(k/1000)-scale
+        # garbage that throws FK keypoints far behind the camera
+        self.depth_layer = nn.Dense(
+            self.depth_num, dtype=self.dtype, name="depth_layer",
+            kernel_init=nn.initializers.normal(stddev=0.001),
+        )
         if c.add_fc:
             self.depth_fc_d1 = nn.Dense(1024, dtype=self.dtype)
             self.depth_fc_d2 = nn.Dense(512, dtype=self.dtype)
