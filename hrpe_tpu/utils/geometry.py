@@ -295,3 +295,32 @@ def get_K_crop_resize(K: Array, boxes: Array, crop_resize) -> Array:
     new_K = new_K.at[..., 0, 2].set(new_cx)
     new_K = new_K.at[..., 1, 2].set(new_cy)
     return new_K
+
+
+def get_K_crop_resize_np(K, boxes, crop_resize):
+    """Numpy twin of get_K_crop_resize for the host data pipeline.
+
+    The jnp version dispatches ~8 device ops per call — measured 11 ms
+    per dataset sample on this host, half the CPU pipeline budget. Same
+    math, plain numpy."""
+    import numpy as _np
+
+    K = _np.array(K, _np.float64, copy=True)
+    boxes = _np.asarray(boxes, _np.float64)
+    final_w = float(max(crop_resize))
+    final_h = float(min(crop_resize))
+    crop_w = boxes[..., 2] - boxes[..., 0]
+    crop_h = boxes[..., 3] - boxes[..., 1]
+    crop_cj = (boxes[..., 0] + boxes[..., 2]) / 2
+    crop_ci = (boxes[..., 1] + boxes[..., 3]) / 2
+    cx = K[..., 0, 2] + (crop_w - 1) / 2 - crop_cj
+    cy = K[..., 1, 2] + (crop_h - 1) / 2 - crop_ci
+    center_x = (crop_w - 1) / 2
+    center_y = (crop_h - 1) / 2
+    scale_x = final_w / crop_w
+    scale_y = final_h / crop_h
+    K[..., 0, 0] *= scale_x
+    K[..., 1, 1] *= scale_y
+    K[..., 0, 2] = (final_w - 1) / 2 + scale_x * (cx - center_x)
+    K[..., 1, 2] = (final_h - 1) / 2 + scale_y * (cy - center_y)
+    return K
