@@ -137,15 +137,19 @@ def make_full_net_step(cfg, model, tx, robot, use_pnp: bool) -> Callable:
     return step
 
 
-def make_full_net_eval(cfg, model, robot, use_pnp: bool) -> Callable:
-    """Eval step: forward + losses + metric tensors (ref validate loop)."""
+def make_full_net_eval(cfg, model, robot, use_pnp: bool, extra_vars=None) -> Callable:
+    """Eval step: forward + losses + metric tensors (ref validate loop).
+
+    extra_vars: optional additional variable collections merged into the
+    state's (e.g. the calibrated 'quant' collection when evaluating a
+    quantized serving twin — scripts/test.py --qmode)."""
     from .metrics import compute_metrics_batch
 
     @jax.jit
     def evaluate(state: TrainState, batch):
         gt_pose, gt_pose_raw, gt_rot, k_vals = assemble_gt(cfg, batch, robot, use_pnp)
         out = model.apply(
-            state.variables,
+            {**state.variables, **(extra_vars or {})},
             batch["other_images"].astype(jnp.float32) / 255.0,
             batch["root_images"].astype(jnp.float32) / 255.0,
             k_vals,

@@ -63,6 +63,24 @@ def int8_variables(mod, init_args):
     return {**v, **qv}
 
 
+def quantize_list(xs):
+    """bf16 branch tensors -> QTensors (as the trunk pipelines them)."""
+    from hrpe_tpu.ops.quant import QTensor
+
+    out = []
+    for x in xs:
+        s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+        out.append(
+            QTensor(
+                jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(
+                    jnp.int8
+                ),
+                s,
+            )
+        )
+    return out
+
+
 def main():
     from hrpe_tpu.models.hrnet import ClsHead, FuseUnit, HRModule, upsample_nearest
 
@@ -87,6 +105,14 @@ def main():
     timed("HRModule stage3 int8 (x7 in trunk)",
           lambda x0, v, x1, x2: mk("int8").apply(v, [x0, x1, x2], False),
           xs3[0], v, xs3[1], xs3[2])
+    # fused-chain serving twin: branches run as one Pallas kernel each.
+    # QTensor inputs (as the trunk pipelines them); x0 perturbed via its
+    # int8 payload so the scan sees distinct dispatches.
+    q3 = quantize_list(xs3)
+    timed("HRModule stage3 int8f (fused chains)",
+          lambda d0, v, q0, q1, q2: mk("int8f").apply(
+              v, [type(q0)(d0, q0.scale), q1, q2], False),
+          q3[0].data, v, q3[0], q3[1], q3[2])
 
     # one stage-4 HRModule (4 branches)
     ch4, hw4 = (32, 64, 128, 256), (64, 32, 16, 8)
@@ -96,6 +122,22 @@ def main():
     timed("HRModule stage4 int8 (x3 in trunk)",
           lambda x0, v, x1, x2, x3: mk4("int8").apply(v, [x0, x1, x2, x3], False),
           xs4[0], v4, xs4[1], xs4[2], xs4[3])
+    q4 = quantize_list(xs4)
+    timed("HRModule stage4 int8f (fused chains)",
+          lambda d0, v, q0, q1, q2, q3_: mk4("int8f").apply(
+              v, [type(q0)(d0, q0.scale), q1, q2, q3_], False),
+          q4[0].data, v4, q4[0], q4[1], q4[2], q4[3])
+
+    # resnet50 trunk: whole backbone int8 vs fused-chain int8f
+    from hrpe_tpu.models.resnet import ResNet
+
+    x_img = jnp.asarray(rng.rand(B, 256, 256, 3), dt)
+    mkr = lambda q: ResNet("resnet50", dt, qmode=q)
+    vr = int8_variables(mkr, (x_img,))
+    timed("resnet50 trunk int8",
+          lambda x, v: mkr("int8").apply(v, x, False), x_img, vr)
+    timed("resnet50 trunk int8f (fused stages)",
+          lambda x, v: mkr("int8f").apply(v, x, False), x_img, vr)
 
     # the fuse unit alone at stage-4 shapes
     mkf = lambda q: FuseUnit(ch4, ch4, 4, dt, qmode=q)

@@ -25,6 +25,12 @@ def main():
     p.add_argument("--exp_path", "-e", type=str, required=True)
     p.add_argument("--dataset", "-d", type=str, required=True)
     p.add_argument("--ckpt_tag", default="dr", help="which best checkpoint")
+    p.add_argument(
+        "--qmode", default=None, choices=["int8", "int8f"],
+        help="evaluate the quantized serving twin (calibrated on this "
+        "dataset) — compare its summary against the bf16 run for the "
+        "int8-vs-bf16 quality delta",
+    )
     args = p.parse_args()
 
     import jax
@@ -68,6 +74,47 @@ def main():
     state = trainer.init_state()
     ckpt = CheckpointManager(os.path.join(args.exp_path, "ckpt"))
     state = ckpt.restore(args.ckpt_tag, state)
+
+    trainer.extra_vars = None
+    if args.qmode and pipeline == "full":
+        # quantized serving twin: calibrate activation scales over this
+        # dataset, then evaluate with the int8 path (VERDICT r2 #4 — the
+        # summary diff vs the bf16 run is the int8-vs-bf16 AUC delta)
+        import jax.numpy as jnp
+
+        from hrpe_tpu.engine.losses import k_values as _kv
+        from hrpe_tpu.engine.train_state import make_full_net_eval
+        from hrpe_tpu.models import build_full_net
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        calib = build_full_net(cfg.full_net_config(), dtype=dtype, qmode="calib")
+
+        @jax.jit
+        def calib_step(variables, batch):
+            kv = _kv(batch["root_bbox_strict_bounded"], batch["root_K"])
+            _, qv = calib.apply(
+                variables,
+                jnp.asarray(batch["other_images"], jnp.float32) / 255.0,
+                jnp.asarray(batch["root_images"], jnp.float32) / 255.0,
+                kv, batch["other_K"], train=False, mutable=["quant"],
+            )
+            return qv
+
+        qv = {}
+        for bi, batch in enumerate(loader):
+            batch, _ = _pad_batch(batch, cfg.batch_size)
+            qv = calib_step({**state.variables, **qv}, batch)
+            if bi >= 3:  # a few hundred images saturate the running max
+                break
+        qmodel = build_full_net(
+            cfg.full_net_config(), dtype=dtype, qmode=args.qmode,
+            decode_impl="pallas",
+        )
+        trainer.model = qmodel
+        trainer.extra_vars = dict(qv)
+        trainer.eval_fn = make_full_net_eval(
+            cfg, qmodel, trainer.robot, trainer.use_pnp, extra_vars=trainer.extra_vars
+        )
 
     alldis = defaultdict(list)
     meters = defaultdict(list)       # (value, n) pairs for scalar metrics
@@ -192,7 +239,8 @@ def main():
         lines.append("wrote result/add_distribution_curve.jpg")
 
     text = "\n".join(lines)
-    with open(os.path.join(result_dir, "summary.txt"), "w") as f:
+    summary_name = f"summary_{args.qmode}.txt" if args.qmode else "summary.txt"
+    with open(os.path.join(result_dir, summary_name), "w") as f:
         f.write(text + "\n")
     print(text)
 
@@ -241,7 +289,7 @@ def _branch_runtimes(trainer, state, cfg, reps=4):
             best = min(best, (time.perf_counter() - t0) / reps)
         return best / B
 
-    vs = state.variables
+    vs = {**state.variables, **(getattr(trainer, "extra_vars", None) or {})}
 
     t_root = run(
         lambda xx, kk: model.apply(
