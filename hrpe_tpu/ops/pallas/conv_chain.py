@@ -75,9 +75,13 @@ def _conv3x3_cat(q, H, W):
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             off = dy * W + dx
-            # pltpu.roll requires a non-negative shift; -off mod HW is the
-            # same circular rotation (edge wrap is masked out anyway)
-            v = pltpu.roll(q, (-off) % HW, 0) if off else q
+            # static circular rotation by -off rows (edge wrap is masked
+            # out anyway). Expressed as slice+concat, NOT pltpu.roll:
+            # Mosaic lowers roll to tpu.dynamic_rotate, which is
+            # unimplemented for int8 vectors ("Rotate with non-32-bit
+            # data"); static slices compile and are exact.
+            m = off % HW
+            v = jnp.concatenate([q[m:], q[:m]], 0) if off else q
             ok = (
                 (h + dy >= 0) & (h + dy < H) & (w + dx >= 0) & (w + dx < W)
             )
@@ -89,6 +93,21 @@ def _requant(x):
     return jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
 
 
+def _dot_i8(x, w):
+    """int8 x int8 -> int32 MXU contraction.
+
+    precision must be DEFAULT explicitly: the package __init__ sets
+    jax_default_matmul_precision='highest' (f32 geometry math), which
+    stamps contract_precision<fp32> onto integer tpu.matmul ops and
+    Mosaic rejects them with 'Bad lhs type'."""
+    return jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
 def _make_chain_kernel(n_blocks: int, H: int, W: int, C: int):
     def kernel(xq_ref, w_ref, s_ref, out_ref):
         # xq_ref: (1, HW, C) int8; w_ref: (nblk, 2, 9C, C) int8;
@@ -96,18 +115,10 @@ def _make_chain_kernel(n_blocks: int, H: int, W: int, C: int):
         q = xq_ref[0]  # (HW, C) int8
         for i in range(n_blocks):
             cat = _conv3x3_cat(q, H, W)
-            d1 = jax.lax.dot_general(
-                cat, w_ref[i, 0],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
+            d1 = _dot_i8(cat, w_ref[i, 0]).astype(jnp.float32)
             q1 = _requant(jnp.maximum(d1 * s_ref[i, 0] + s_ref[i, 1], 0.0))
             cat1 = _conv3x3_cat(q1, H, W)
-            d2 = jax.lax.dot_general(
-                cat1, w_ref[i, 1],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
+            d2 = _dot_i8(cat1, w_ref[i, 1]).astype(jnp.float32)
             o = jnp.maximum(
                 d2 * s_ref[i, 2] + s_ref[i, 3]
                 + q.astype(jnp.float32) * s_ref[i, 4],
@@ -202,31 +213,19 @@ def _make_bottleneck_kernel(meta, H: int, W: int, stride: int):
             w1 = w_refs[wi][:]; w2 = w_refs[wi + 1][:]; w3 = w_refs[wi + 2][:]
             wi += 3
             s = stride if i == 0 else 1
-            d1 = jax.lax.dot_general(
-                q, w1, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
+            d1 = _dot_i8(q, w1).astype(jnp.float32)
             q1 = _requant(jnp.maximum(d1 * s_ref[i, 0, :P] + s_ref[i, 1, :P], 0.0))
             cat = _conv3x3_cat(q1, h, w_)
             if s == 2:
                 cat = _subsample2(cat, h, w_)
-            d2 = jax.lax.dot_general(
-                cat, w2, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
+            d2 = _dot_i8(cat, w2).astype(jnp.float32)
             q2 = _requant(jnp.maximum(d2 * s_ref[i, 2, :P] + s_ref[i, 3, :P], 0.0))
-            y3 = jax.lax.dot_general(
-                q2, w3, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * s_ref[i, 4] + s_ref[i, 5]
+            y3 = _dot_i8(q2, w3).astype(jnp.float32) * s_ref[i, 4] + s_ref[i, 5]
             if m["has_proj"]:
                 wp = w_refs[wi][:]
                 wi += 1
                 qs = _subsample2(q, h, w_) if s == 2 else q
-                res = jax.lax.dot_general(
-                    qs, wp, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * s_ref[i, 6] + s_ref[i, 7]
+                res = _dot_i8(qs, wp).astype(jnp.float32) * s_ref[i, 6] + s_ref[i, 7]
             else:
                 res = q.astype(jnp.float32) * s_ref[i, 6]
             q = _requant(jnp.maximum(y3 + res, 0.0))
