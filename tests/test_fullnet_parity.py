@@ -207,10 +207,12 @@ def test_fullnet_forward_parity(backbone):
     from hrpe_tpu.models import FullNetConfig, build_full_net
     from hrpe_tpu.utils.checkpoint_io import import_state_dict, translate_fullnet_key
 
-    # 128^2 inputs: every weight mapping (deconv flip, depth_layer
-    # conv->Dense, fc heads) is size-agnostic, and the test runs ~4x
-    # faster than at 256^2 (VERDICT r2 #5)
-    S = 128
+    # 256^2 is the ONLY size the reference supports: it hardcodes
+    # depth_dim=64 (full_net.py:66) and its decomposed integral decode
+    # shares one range_tensor across W/H/D (integral.py:128-134), which
+    # only lines up when W == H == D == 64, i.e. image_size 256. Shrinking
+    # to 128^2 makes the reference itself throw.
+    S = 256
     ref = _make_ref_model(backbone, image_size=S)
 
     B = 2
