@@ -144,7 +144,12 @@ def _render_frame(rm, q, R, t, rng, scale=2):
 
 def _worker(args):
     out_dir, robot_name, lo_i, hi_i, seed = args
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # hard override: this environment exports JAX_PLATFORMS=axon globally
+    # and the axon plugin re-overrides JAX_PLATFORMS at registration, so
+    # only HRPE_FORCE_CPU (see hrpe_tpu/__init__.py) reliably pins CPU —
+    # without it every worker contends for the one tunnel TPU.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["HRPE_FORCE_CPU"] = "1"
     from PIL import Image
 
     from hrpe_tpu.data.const import JOINT_BOUNDS, JOINT_NAMES, LINK_NAMES
@@ -192,6 +197,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--robot", default="dofbot")
     p.add_argument("--n", type=int, default=4096)
+    p.add_argument("--start", type=int, default=0,
+                   help="first frame index (shard offset for external chunking)")
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
@@ -211,7 +218,8 @@ def main():
     chunks = []
     per = -(-args.n // args.workers)
     for w in range(args.workers):
-        lo, hi = w * per, min((w + 1) * per, args.n)
+        lo = args.start + w * per
+        hi = min(args.start + (w + 1) * per, args.start + args.n)
         if lo < hi:
             chunks.append((args.out, args.robot, lo, hi, args.seed))
 
