@@ -84,7 +84,10 @@ def load_real_batch():
 
         ds = DreamDataset(CALIB_DATA, robot="dofbot")
         rng = np.random.RandomState(0)
-        samples = [ds.__getitem__(i % len(ds), rng=rng) for i in range(min(16, BATCH))]
+        # a full batch of DISTINCT on-disk images (round-3 tiled 16; real
+        # calibration sweeps need real activation diversity)
+        idx = rng.permutation(len(ds))[:BATCH]
+        samples = [ds.__getitem__(int(i) % len(ds), rng=rng) for i in idx]
         b = collate(samples)
         reps = -(-BATCH // len(samples))
 
@@ -161,21 +164,27 @@ def main():
             if loaded[0] is None and "state" in raw:
                 loaded = raw["state"].get("params"), raw["state"].get("batch_stats")
             if loaded[0] is not None:
-                pshape = jax.tree.map(lambda x: None, variables["params"])
-                try:
-                    variables = {
-                        "params": jax.tree.map(
-                            lambda _, v: jnp.asarray(v), pshape, loaded[0]
-                        ),
-                        "batch_stats": jax.tree.map(
-                            lambda v: jnp.asarray(v), loaded[1]
-                        ),
-                    }
-                    trained = True
-                except Exception:
-                    pass
+                # structural check against the random-init tree, then load
+                # directly (LOUD on mismatch — a silent fallback here made
+                # every round-3 fidelity gate run on random weights)
+                chex_ok = jax.tree.structure(loaded[0]) == jax.tree.structure(
+                    variables["params"]
+                )
+                if not chex_ok:
+                    raise ValueError(
+                        "checkpoint params tree does not match model tree"
+                    )
+                variables = {
+                    "params": jax.tree.map(jnp.asarray, loaded[0]),
+                    "batch_stats": jax.tree.map(jnp.asarray, loaded[1]),
+                }
+                trained = True
         except Exception as e:  # noqa: BLE001
-            print(f"# checkpoint load failed ({e}); using random init", flush=True)
+            print(
+                f"# CHECKPOINT LOAD FAILED ({type(e).__name__}: {e}); "
+                "benchmarking RANDOM weights",
+                flush=True,
+            )
 
     # --- calibrate activation scales on the (real when possible) batch --
     calib = build(qmode="calib")

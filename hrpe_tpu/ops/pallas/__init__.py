@@ -1,1 +1,1 @@
-from .integral_decode import fused_heatmap_expectations  # noqa: F401
+from .integral_decode_nhwc import fused_heatmap_expectations_nhwc  # noqa: F401

@@ -161,11 +161,22 @@ def _worker(args):
     bounds = np.asarray(JOINT_BOUNDS[robot_name], np.float64)
     link_names = LINK_NAMES[robot_name]
     joint_names = JOINT_NAMES[robot_name]
+    import jax.numpy as jnp
+
     for i in range(lo_i, hi_i):
         rng = np.random.RandomState(seed * 1000003 + i)
         q, R, t, kp_cam, kp2d = _sample_scene(robot, bounds, rng)
         img = _render_frame(rm, q, R, t, rng)
         Image.fromarray(img).save(os.path.join(out_dir, f"{i:06d}.png"))
+        # The dialect's TCO is the ROOT-LINK (keypoint 1) pose: rotation of
+        # link1's frame in camera coords, translation at link1. The
+        # reference consumes it directly as the root pose with
+        # reference_keypoint_id=1 (function.py:86-93 'gt_trans和gt_rot本来
+        # 就是相对于root的'); writing the BASE rotation here (round 1-3)
+        # made the rot target inconsistent with the FK keypoint losses by
+        # up to 8 cm and broke full-net training.
+        TWL1 = np.asarray(robot.keypoint_poses(jnp.asarray(q)[None]))[0, 1]
+        R_root = R @ TWL1[:3, :3]
         kp_dict = {
             f"/World/robot/{ln}": {
                 "keypoint_positon": [float(v) for v in kp_cam[k]],
@@ -176,7 +187,7 @@ def _worker(args):
         x1, y1 = kp2d.min(0) - 8
         x2, y2 = kp2d.max(0) + 8
         ann = {
-            "camera_ros_axes_to_robot_root_rot": R.T.tolist(),
+            "camera_ros_axes_to_robot_root_rot": R_root.T.tolist(),
             "dofbot_joint_names_positions": {
                 jn: float(np.rad2deg(v)) for jn, v in zip(joint_names, q)
             },

@@ -123,8 +123,14 @@ def make_pickle_dataset(dirpath: Path, robot_name="dofbot", n=4):
     for i in range(n):
         robot, q, R, t, kp_cam, kp2d = _scene(robot_name, seed=200 + i)
         _write_png(dirpath / f"{i:06d}.png", seed=i)
-        # dialect: TCO rotation comes from transpose(c2b_rot); translation is
-        # the second keypoint link's camera position -> encode consistently
+        # dialect: TCO is the ROOT-LINK (keypoint 1) pose — rotation of
+        # link1's frame in camera coords (stored transposed), translation at
+        # link1 (via keypoint_dict). The reference consumes it directly as
+        # the root pose with reference_keypoint_id=1 (function.py:86-93).
+        import jax.numpy as jnp
+
+        TWL1 = np.asarray(robot.keypoint_poses(jnp.asarray(q)[None]))[0, 1, :3, :3]
+        R = np.asarray(R) @ TWL1
         kp_dict = {
             f"/World/robot/{ln}": {
                 "keypoint_positon": [float(v) for v in kp_cam[k]],

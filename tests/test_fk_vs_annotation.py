@@ -63,22 +63,27 @@ def test_fk_matches_annotation(tmp_path, robot_name, dialect):
             err = np.linalg.norm(kp_fk - kp_gt, axis=-1)
             assert err.max() < 5e-3, (robot_name, err.max())
         else:
-            # Isaac pickle TCO = base ROTATION + link1 TRANSLATION
-            # (dream.py:204-211). Exact invariant: recover the base
-            # translation as t_link1 - R_base @ p_link1(q) and run base FK.
-            p1 = np.asarray(robot.keypoints_fk_only(q))[0, 1]
-            R = np.asarray(TCO[:3, :3])
-            t_base = np.asarray(TCO[:3, 3]) - R @ p1
+            # Isaac pickle TCO = ROOT-LINK (keypoint 1) pose: link1's
+            # camera-frame rotation + link1 translation (the reference
+            # consumes it directly as the root pose with
+            # reference_keypoint_id=1, function.py:86-93). Exact
+            # invariant — this is precisely the training FK head's
+            # convention: re-rooted FK from (q, TCO) reproduces the
+            # annotated keypoints.
+            kp_root = np.asarray(robot.keypoints_root(q, r6, t, root=1))[0]
+            err_root = np.linalg.norm(kp_root - kp_gt, axis=-1)
+            assert err_root.max() < 5e-3, (robot_name, err_root.max())
+            # base pose recovery: TCO @ inv(TWL_link1) gives the base
+            # frame; base FK must also reproduce the keypoints exactly
+            TWL1 = np.asarray(robot.keypoint_poses(q))[0, 1]
+            R_base = np.asarray(TCO[:3, :3]) @ TWL1[:3, :3].T
+            t_base = np.asarray(TCO[:3, 3]) - R_base @ TWL1[:3, 3]
             kp_fk = np.asarray(
-                robot.keypoints_base(q, r6, jnp.asarray(t_base)[None])
+                robot.keypoints_base(
+                    q,
+                    rotmat_to_rot6d(jnp.asarray(R_base)[None]),
+                    jnp.asarray(t_base)[None],
+                )
             )[0]
             err = np.linalg.norm(kp_fk - kp_gt, axis=-1)
             assert err.max() < 5e-3, (robot_name, err.max())
-            # the reference's own re-rooted check (dataset_load_test.py:
-            # 152-159, root=1) carries a systematic convention gap: the
-            # base rotation is applied at link1's (joint-rotated) frame.
-            # Pin that it stays small, as the training FK head inherits it.
-            if robot_name == "dofbot":  # the dialect's actual robot
-                kp_root = np.asarray(robot.keypoints_root(q, r6, t, root=1))[0]
-                err_root = np.linalg.norm(kp_root - kp_gt, axis=-1)
-                assert err_root.max() < 0.08, (robot_name, err_root.max())
