@@ -116,19 +116,54 @@ _PHOTOMETRIC_AUGS = [
 ]
 
 
-def pil_photometric(rgb: np.ndarray, rng, p=0.3) -> np.ndarray:
+def pil_photometric(rgb: np.ndarray, rng, p=0.3, roi=None) -> np.ndarray:
     """Sharpness/contrast/brightness/color chain (ref const.py:5-10).
 
     Vectorized numpy re-implementation of the PIL ImageEnhance chain
     (identical blend math, per-step rounding like PIL; sharpness uses the
     SMOOTH kernel with PIL's copy-border convention) — the PIL version
     cost ~9 ms/sample on this host, the hot third of the CPU pipeline.
-    The rng call sequence is unchanged, so seeded runs reproduce."""
-    img = rgb.astype(np.float32)
+    The rng call sequence is unchanged, so seeded runs reproduce.
+
+    `roi=(y1, y2, x1, x2)`: apply the enhancement only inside the window
+    (the contrast mean statistic is still computed over the FULL image,
+    like PIL). Used by the dataset pipeline with the crop extent — pixels
+    outside the crop never reach the model, and enhancing only the window
+    cuts the dominant CPU cost ~4x on 640x480 frames."""
+    if roi is None:
+        img = rgb.astype(np.float32)
+        for enh, interval in _PHOTOMETRIC_AUGS:
+            if rng.random_sample() <= p:
+                img = np.clip(np.rint(enh(img, rng.uniform(*interval))), 0, 255)
+        return img.astype(np.uint8)
+
+    H, W = rgb.shape[:2]
+    y1 = max(0, int(roi[0])); y2 = min(H, int(roi[1]))
+    x1 = max(0, int(roi[2])); x2 = min(W, int(roi[3]))
+    if y2 <= y1 or x2 <= x1:
+        return pil_photometric(rgb, rng, p)
+    out = rgb.copy()
     for enh, interval in _PHOTOMETRIC_AUGS:
         if rng.random_sample() <= p:
-            img = np.clip(np.rint(enh(img, rng.uniform(*interval))), 0, 255)
-    return img.astype(np.uint8)
+            f = rng.uniform(*interval)
+            if enh is _enh_contrast:
+                # PIL computes the mean over the whole image
+                mean = np.rint(_luminance(out.astype(np.float32)).mean())
+                win = out[y1:y2, x1:x2].astype(np.float32)
+                res = mean * (1.0 - f) + win * f
+            elif enh is _enh_sharpness:
+                # expand by 1px for the 3x3 kernel, write back the window
+                ey1, ey2 = max(0, y1 - 1), min(H, y2 + 1)
+                ex1, ex2 = max(0, x1 - 1), min(W, x2 + 1)
+                ewin = out[ey1:ey2, ex1:ex2].astype(np.float32)
+                eres = _enh_sharpness(ewin, f)
+                res = eres[y1 - ey1 : eres.shape[0] - (ey2 - y2),
+                           x1 - ex1 : eres.shape[1] - (ex2 - x2)]
+            else:
+                win = out[y1:y2, x1:x2].astype(np.float32)
+                res = enh(win, f)
+            out[y1:y2, x1:x2] = np.clip(np.rint(res), 0, 255).astype(np.uint8)
+    return out
 
 
 def pil_blur(rgb: np.ndarray, rng, p=0.4, kmin=1, kmax=3) -> np.ndarray:

@@ -58,15 +58,49 @@ class CheckpointManager:
             import shutil
 
             shutil.rmtree(path)
-        self._ckptr.save(path, jax.device_get(state))
+        # best checkpoints are SLIM — params + batch_stats only (the
+        # serving/eval surface). Adam state triples the footprint for no
+        # serving value; full resume state lives in `latest` (ADVICE r3:
+        # 880 MB orbax blobs in git)
+        slim = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "step": state.step,
+        }
+        self._ckptr.save(path, jax.device_get(slim))
         self._ckptr.wait_until_finished()
         with open(self._meta_path(tag), "w") as f:
             json.dump({"epoch": epoch, "score": score, "tag": tag}, f)
         return score
 
     def restore(self, tag: str, target_state):
-        path = self._path(tag)
-        return self._ckptr.restore(path, target=jax.device_get(target_state))
+        """Restore a best-tag checkpoint into `target_state`.
+
+        Handles both slim (params/batch_stats) and legacy full-state
+        layouts; optimizer state is taken from the checkpoint when
+        present, else kept from `target_state` (fresh)."""
+        raw = self._ckptr.restore(self._path(tag))
+        out = target_state.replace(
+            params=jax.tree.map(np.asarray, raw["params"]),
+            batch_stats=jax.tree.map(np.asarray, raw["batch_stats"]),
+        )
+        if raw.get("opt_state") is not None:
+            try:
+                ref = jax.device_get(target_state.opt_state)
+                flat, treedef = jax.tree.flatten(ref)
+                rflat = jax.tree.leaves(raw["opt_state"])
+                if len(flat) == len(rflat):
+                    out = out.replace(
+                        opt_state=jax.tree.unflatten(
+                            treedef,
+                            [np.asarray(v) for v in rflat],
+                        )
+                    )
+            except Exception:  # noqa: BLE001 — optimizer state is optional
+                pass
+        if raw.get("step") is not None:
+            out = out.replace(step=np.asarray(raw["step"]))
+        return out
 
     def save_latest(self, state, epoch: int, bests: Dict[str, float]):
         """Save the end-of-epoch state unconditionally (epoch-guarded), so

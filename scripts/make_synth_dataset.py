@@ -187,6 +187,8 @@ def _worker(args):
         x1, y1 = kp2d.min(0) - 8
         x2, y2 = kp2d.max(0) + 8
         ann = {
+            # stamp guards fix_dataset_rootrot.py idempotency
+            "root_rot_convention": "link1",
             "camera_ros_axes_to_robot_root_rot": R_root.T.tolist(),
             "dofbot_joint_names_positions": {
                 jn: float(np.rad2deg(v)) for jn, v in zip(joint_names, q)
