@@ -23,6 +23,10 @@ from hrpe_tpu.ops.pallas.conv_chain import (
 from hrpe_tpu.ops.quant import QTensor
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile; excluded from the default fast shard
+
 def _rand_chain(rng, B=2, H=8, W=8, C=8, nblk=2):
     xq = rng.randint(-100, 100, (B, H * W, C)).astype(np.int8)
     w = rng.randint(-80, 80, (nblk, 2, 9 * C, C)).astype(np.int8)

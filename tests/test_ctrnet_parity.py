@@ -28,6 +28,10 @@ import torch.nn as nn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile; excluded from the default fast shard
+
 class TVBottleneck(nn.Module):
     """torchvision.models.resnet.Bottleneck (stride on conv2)."""
 

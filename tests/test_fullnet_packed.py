@@ -8,6 +8,10 @@ from hrpe_tpu.models import FullNetConfig, build_full_net
 from hrpe_tpu.models.full_net import pack_full_net_variables
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile; excluded from the default fast shard
+
 def test_packed_full_net_matches_plain():
     cfg = FullNetConfig(
         robot_type="dofbot", backbone_name="resnet18",

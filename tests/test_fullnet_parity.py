@@ -27,9 +27,9 @@ import pytest
 
 REF = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow] + [pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "lib")), reason="reference not mounted"
-)
+)]
 
 
 def _shim_easydict():

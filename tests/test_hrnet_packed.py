@@ -14,6 +14,10 @@ from hrpe_tpu.models.hrnet_packed import (
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile; excluded from the default fast shard
+
 def test_space_to_depth_roundtrip():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3), jnp.float32)
     np.testing.assert_array_equal(

@@ -14,6 +14,10 @@ from hrpe_tpu.models import FullNetConfig, build_full_net
 from hrpe_tpu.models.hrnet import HRNet
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile; excluded from the default fast shard
+
 def _forward(cfg):
     model = build_full_net(cfg)
     B, S = 2, 64

@@ -72,6 +72,7 @@ def test_sim2real_step(tmp_path):
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+@pytest.mark.slow
 def test_worst_case_visual_dump(tmp_path):
     # the epoch-end worst-IoU overlay (ref train_sim2real.py:587-594):
     # render the worst sample through make_render_fn and write the PNG

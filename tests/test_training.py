@@ -142,6 +142,7 @@ def test_depthnet_step(fixture_batch):
     assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
 
 
+@pytest.mark.slow
 def test_depthnet_xy_branch_trains(fixture_batch):
     """use_rootnet_xy_branch: the xy soft-argmax head must receive
     gradient (ref train_depthnet.py:293-299; VERDICT r1 #7)."""
