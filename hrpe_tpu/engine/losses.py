@@ -60,9 +60,24 @@ def _elementwise(kind: str, pred: Array, gt: Array) -> Array:
     raise NotImplementedError(kind)
 
 
+def safe_norm(d: Array, axis: int = -1) -> Array:
+    """L2 norm whose gradient at 0 is 0, matching torch.linalg.vector_norm.
+
+    jnp.linalg.norm has a NaN gradient at exactly 0. That is not academic
+    here: with fix_root, xyz_int[:, ref] and xyz_fk[:, ref] BOTH equal
+    pred_trans by construction, so the align loss takes the norm of pure
+    fp noise that intermittently rounds to exactly 0 — this NaN'd the
+    gradients of ~60% of round-3 training steps (the reference never hits
+    it because torch defines the norm subgradient at 0 as 0).
+    """
+    s = jnp.sum(d * d, axis=axis)
+    nz = s > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, s, 1.0)), 0.0)
+
+
 def masked_norm_loss(pred: Array, gt: Array, mask: Array, axis: int = -1) -> Array:
     """sum(||pred-gt|| * mask) / count(mask != 0) (ref l2norm+mask pattern)."""
-    err = jnp.linalg.norm(pred - gt, axis=axis)
+    err = safe_norm(pred - gt, axis=axis)
     denom = jnp.maximum(jnp.sum(mask != 0), 1)
     return jnp.sum(err * mask) / denom
 
@@ -123,7 +138,7 @@ def full_net_losses(
     # uv loss (ref :256-271): l2norm variant is masked by the ref keypoint's
     # crop validity
     if cfg.uv_loss_func == "l2norm":
-        err = jnp.linalg.norm((out["root_uv"] - gt_root_uv) / image_size, axis=-1)
+        err = safe_norm((out["root_uv"] - gt_root_uv) / image_size, axis=-1)
         m = valid_crop[:, ref_id]
         loss_uv = jnp.sum(err * m) / jnp.maximum(jnp.sum(m != 0), 1)
     else:
@@ -135,7 +150,7 @@ def full_net_losses(
     # batch mean exceeds 0.5 m — a data-dependent scalar branch, expressed
     # as jnp.where so it stays one compiled graph
     if cfg.trans_loss_func == "l2norm":
-        err = jnp.linalg.norm(out["trans"] - gt_trans, axis=-1)
+        err = safe_norm(out["trans"] - gt_trans, axis=-1)
         plain = jnp.mean(err)
         damped = jnp.mean(err * jax.lax.stop_gradient(jnp.exp(-20.0 * err)))
         loss_trans = jnp.where(plain > 0.5, damped, plain)
@@ -143,13 +158,13 @@ def full_net_losses(
         loss_trans = _elementwise(cfg.trans_loss_func, out["trans"], gt_trans)
 
     # FK keypoint losses (ref :294-311)
-    loss_kp3d = jnp.mean(jnp.linalg.norm(out["xyz_fk"] - gt_kp3d, axis=-1))
+    loss_kp3d = jnp.mean(safe_norm(out["xyz_fk"] - gt_kp3d, axis=-1))
     kp2d_fk = project_points(other_K, out["xyz_fk"]) / image_size
     gt_kp2d_n = gt_kp2d / image_size
     loss_kp2d = masked_norm_loss(kp2d_fk, gt_kp2d_n, valid_crop)
 
     # integral keypoint losses (ref :313-332)
-    err3d_int = jnp.linalg.norm(out["xyz_int"] - gt_kp3d, axis=-1)
+    err3d_int = safe_norm(out["xyz_int"] - gt_kp3d, axis=-1)
     if cfg.fix_mask:
         loss_kp3d_int = jnp.sum(err3d_int * valid_crop) / jnp.maximum(
             jnp.sum(valid_crop != 0), 1
@@ -160,7 +175,7 @@ def full_net_losses(
     loss_kp2d_int = masked_norm_loss(kp2d_int, gt_kp2d_n, valid_crop)
 
     # FK-vs-integral alignment (ref :334-343)
-    align = jnp.linalg.norm(out["xyz_fk"] - out["xyz_int"], axis=-1)
+    align = safe_norm(out["xyz_fk"] - out["xyz_int"], axis=-1)
     if cfg.fix_mask:
         loss_align = jnp.sum(align * valid_crop) / jnp.maximum(
             jnp.sum(valid_crop != 0), 1

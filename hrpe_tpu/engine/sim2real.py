@@ -96,9 +96,11 @@ def make_sim2real_step(cfg, model, tx, robot, robot_mesh: RobotMesh, render_hw):
         loss_scale = jnp.mean(
             jnp.abs(jnp.log(jnp.maximum(area_p, 1.0) / jnp.maximum(area_s, 1.0)))
         )
-        loss_align = jnp.mean(
-            jnp.linalg.norm(out["xyz_fk"] - out["xyz_int"], axis=-1)
-        )
+        # safe_norm: xyz_fk[:, ref] == xyz_int[:, ref] by construction, and
+        # jnp.linalg.norm's gradient at exactly 0 is NaN (see losses.safe_norm)
+        from .losses import safe_norm
+
+        loss_align = jnp.mean(safe_norm(out["xyz_fk"] - out["xyz_int"], axis=-1))
 
         total = (
             cfg.mask_loss_weight * loss_mask
