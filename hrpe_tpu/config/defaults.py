@@ -35,6 +35,10 @@ class Config:
     clip_gradient: float = 10.0
     # cadence of the unconditional 'latest' resume checkpoint (epochs)
     latest_ckpt_every: int = 10
+    # validate every N epochs (1 = reference behavior). Validation over the
+    # tunnel costs real wall-clock; raising this trades best-checkpoint
+    # granularity for training throughput.
+    val_every: int = 1
     # sim2real: save the epoch's worst-IoU render-vs-seg overlay PNG
     # (ref train_sim2real.py:587-594)
     save_worst_vis: bool = True

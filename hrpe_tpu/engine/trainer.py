@@ -263,18 +263,24 @@ class Trainer:
     def validate(self, state, loader, dsname: str, epoch: int, writer):
         """Eval over one test set; returns AUC(ADD) for full pipeline or
         -depth_error for depthnet (ref function.py:377-464)."""
+        t_val0 = time.time()
+        t_data = t_eval = t_fetch = 0.0
+        t_mark = time.time()
         alldis = defaultdict(list)
         alldis_int = defaultdict(list)
         meters = defaultdict(AverageMeter)
         per_kp = defaultdict(lambda: AverageMeter())
         for batch in loader:
+            t_data += time.time() - t_mark
+            t_mark = time.time()
             batch, n_real = _pad_batch(batch, loader.local_batch_size)
             batch = shard_batch(self.mesh, batch)
             if self.pipeline == "full":
                 loss_dict, m_fk, m_int, _ = self.eval_fn(state, batch)
-                loss_dict = jax.device_get(loss_dict)
-                m_fk = jax.device_get(m_fk)
-                m_int = jax.device_get(m_int)
+                t_eval += time.time() - t_mark
+                t_mark = time.time()
+                loss_dict, m_fk, m_int = jax.device_get((loss_dict, m_fk, m_int))
+                t_fetch += time.time() - t_mark
                 alldis["dis3d"].extend(m_fk["image_dis3d"][:n_real])
                 alldis["dis2d"].extend(m_fk["image_dis2d"][:n_real])
                 alldis["jointerror"].extend(m_fk["image_joint_err"][:n_real])
@@ -293,6 +299,7 @@ class Trainer:
                 alldis["deptherror"].extend(loss_dict.pop("depth_abs_err")[:n_real])
                 for k, v in loss_dict.items():
                     meters[k].add(np.mean(v), n_real)
+            t_mark = time.time()
 
         # multi-host: every process saw a disjoint slice of the set; gather
         # the per-image distance lists so AUC summaries are global (the
@@ -333,6 +340,10 @@ class Trainer:
                     writer.add_scalar(f"Val/PCK_{t}_pixel{ds}", summary[f"PCK_{t}_pixel"], epoch)
                 for k, m in per_kp.items():
                     writer.add_scalar(f"Val/{k}{ds}", m.mean, epoch)
+            print(
+                f"  [val timing] total {time.time()-t_val0:.1f}s: "
+                f"data {t_data:.1f}s eval {t_eval:.1f}s fetch {t_fetch:.1f}s"
+            )
             return summary["ADD/AUC"], summary
         else:
             mean_err = float(np.mean(alldis["deptherror"]))
@@ -379,10 +390,14 @@ class Trainer:
             writer.add_scalar("Train/skipped_nonfinite_updates", n_bad, epoch)
 
             auc_scores = {}
-            for dsname, loader in test_loaders.items():
-                score, summary = self.validate(state, loader, dsname, epoch, writer)
-                auc_scores[dsname] = score
-                print(f"  val[{dsname}]: {summary}")
+            # validation cadence (cfg.val_every; reference validates every
+            # epoch — function.py:377 — but over the hosted tunnel a full
+            # validation costs multiples of the train phase)
+            if (epoch + 1) % max(1, cfg.val_every) == 0 or epoch == n_epochs - 1:
+                for dsname, loader in test_loaders.items():
+                    score, summary = self.validate(state, loader, dsname, epoch, writer)
+                    auc_scores[dsname] = score
+                    print(f"  val[{dsname}]: {summary}")
 
             # best-per-dataset checkpointing (ref utils.py:223-268)
             if "dr" in auc_scores:
