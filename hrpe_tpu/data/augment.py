@@ -129,7 +129,15 @@ def pil_photometric(rgb: np.ndarray, rng, p=0.3, roi=None) -> np.ndarray:
     (the contrast mean statistic is still computed over the FULL image,
     like PIL). Used by the dataset pipeline with the crop extent — pixels
     outside the crop never reach the model, and enhancing only the window
-    cuts the dominant CPU cost ~4x on 640x480 frames."""
+    cuts the dominant CPU cost ~4x on 640x480 frames.
+
+    Documented approximation (ADVICE r4): when contrast fires AFTER an
+    earlier ROI-only step (e.g. sharpness), its full-image mean is taken
+    over a frame whose ROI was already modified, whereas PIL's full-image
+    chain would have modified the whole frame first. The blend constant
+    can deviate by the sharpness-induced shift of the ROI's share of the
+    global luminance mean — sub-1-gray-level for typical crops; accepted
+    in exchange for the 4x pipeline speedup."""
     if roi is None:
         img = rgb.astype(np.float32)
         for enh, interval in _PHOTOMETRIC_AUGS:

@@ -167,6 +167,12 @@ class DreamDataset:
         self.scale = 0.01 if "synthetic" in str(base_dir) else 1.0
         self.flip_pairs = FLIP_PAIRS_BAXTER if self.robot == "baxter" else None
         self.frames = build_frame_index(self.base_dir)
+        if not self.frames:
+            raise FileNotFoundError(
+                f"no frames (*.png/*.jpg) found under {self.base_dir} — "
+                "is the dataset generated/downloaded? "
+                "(scripts/make_synth_dataset.py writes synthetic sets)"
+            )
         self.rng = np.random.RandomState(seed)
         # bounded decode cache: (rgb, annotation) per frame index.
         # 8192 640x480 RGB frames ~ 7.5 GB — this host has 125 GB, and a
@@ -218,6 +224,19 @@ class DreamDataset:
         """Isaac-Sim pickle dialect (ref dream.py:140-308)."""
         with open(path, "rb") as f:
             ann = pickle.load(f)
+        if ann.get("root_rot_convention") != "link1" and not getattr(
+            DreamDataset, "_warned_rootrot", False
+        ):
+            DreamDataset._warned_rootrot = True
+            import warnings
+
+            warnings.warn(
+                f"{path}: pickle annotation lacks root_rot_convention="
+                "'link1' — generated before the round-4 root-rotation fix. "
+                "The BASE rotation will be used as the root rotation (up to "
+                "~8 cm FK inconsistency); run scripts/fix_dataset_rootrot.py "
+                "to migrate the dataset."
+            )
         c2b = np.asarray(ann["camera_ros_axes_to_robot_root_rot"], np.float64)
         link_names = LINK_NAMES[self.robot]
         kp = ann["keypoint_dict"]

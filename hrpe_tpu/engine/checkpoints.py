@@ -20,6 +20,50 @@ import orbax.checkpoint as ocp
 REAL_SETS = ["azure", "kinect", "realsense", "orb"]
 
 
+def _field(state, name, default=None):
+    """Read a field from either a mapping state or a TrainState struct."""
+    if isinstance(state, dict):
+        return state.get(name, default)
+    return getattr(state, name, default)
+
+
+def _with(state, **updates):
+    """Return `state` with fields replaced; works for dicts and structs."""
+    if isinstance(state, dict):
+        out = dict(state)
+        out.update(updates)
+        return out
+    return state.replace(**updates)
+
+
+def restore_state(path: str, target_state, ckptr=None):
+    """Restore an orbax checkpoint dir into `target_state` (mapping or
+    TrainState struct), handling both the slim {params, batch_stats, step}
+    layout and the legacy full-state layout.
+
+    For legacy checkpoints the restore is re-done with an explicit target
+    so the optimizer tree keeps the target treedef's leaf order (a
+    targetless orbax restore yields string-keyed dicts whose sorted
+    flatten order '0','1','10','2'… can scramble optimizer leaves)."""
+    ckptr = ckptr or ocp.StandardCheckpointer()
+    path = os.path.abspath(path)
+    raw = ckptr.restore(path)  # structure probe (targetless)
+    if isinstance(raw, dict) and raw.get("opt_state") is not None:
+        try:
+            return ckptr.restore(path, target=jax.device_get(target_state))
+        except Exception:  # noqa: BLE001 — structure drift: slim merge below
+            pass
+    updates = {"params": jax.tree.map(np.asarray, raw["params"])}
+    if (
+        raw.get("batch_stats") is not None
+        and _field(target_state, "batch_stats") is not None
+    ):
+        updates["batch_stats"] = jax.tree.map(np.asarray, raw["batch_stats"])
+    if raw.get("step") is not None:
+        updates["step"] = np.asarray(raw["step"])
+    return _with(target_state, **updates)
+
+
 class CheckpointManager:
     def __init__(self, ckpt_dir: str):
         self.ckpt_dir = os.path.abspath(ckpt_dir)
@@ -62,11 +106,11 @@ class CheckpointManager:
         # serving/eval surface). Adam state triples the footprint for no
         # serving value; full resume state lives in `latest` (ADVICE r3:
         # 880 MB orbax blobs in git)
-        slim = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "step": state.step,
-        }
+        slim = {"params": _field(state, "params")}
+        for k in ("batch_stats", "step"):
+            v = _field(state, k)
+            if v is not None:
+                slim[k] = v
         self._ckptr.save(path, jax.device_get(slim))
         self._ckptr.wait_until_finished()
         with open(self._meta_path(tag), "w") as f:
@@ -79,28 +123,7 @@ class CheckpointManager:
         Handles both slim (params/batch_stats) and legacy full-state
         layouts; optimizer state is taken from the checkpoint when
         present, else kept from `target_state` (fresh)."""
-        raw = self._ckptr.restore(self._path(tag))
-        out = target_state.replace(
-            params=jax.tree.map(np.asarray, raw["params"]),
-            batch_stats=jax.tree.map(np.asarray, raw["batch_stats"]),
-        )
-        if raw.get("opt_state") is not None:
-            try:
-                ref = jax.device_get(target_state.opt_state)
-                flat, treedef = jax.tree.flatten(ref)
-                rflat = jax.tree.leaves(raw["opt_state"])
-                if len(flat) == len(rflat):
-                    out = out.replace(
-                        opt_state=jax.tree.unflatten(
-                            treedef,
-                            [np.asarray(v) for v in rflat],
-                        )
-                    )
-            except Exception:  # noqa: BLE001 — optimizer state is optional
-                pass
-        if raw.get("step") is not None:
-            out = out.replace(step=np.asarray(raw["step"]))
-        return out
+        return restore_state(self._path(tag), target_state, self._ckptr)
 
     def save_latest(self, state, epoch: int, bests: Dict[str, float]):
         """Save the end-of-epoch state unconditionally (epoch-guarded), so

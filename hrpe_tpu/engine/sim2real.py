@@ -318,11 +318,11 @@ class Sim2RealTrainer:
             if not os.path.exists(path):
                 path = os.path.join("experiments", path)
             if os.path.isdir(path):
-                import orbax.checkpoint as ocp
+                from .checkpoints import restore_state
 
-                state = ocp.StandardCheckpointer().restore(
-                    os.path.abspath(path), target=jax.device_get(state)
-                )
+                # handles both slim (params/batch_stats) best checkpoints
+                # and legacy full-TrainState layouts (ADVICE r4)
+                state = restore_state(path, state)
                 print(f"loaded synth-pretrained weights from {path}")
             elif os.path.isfile(path):
                 from ..utils.checkpoint_io import (

@@ -48,24 +48,35 @@ def _look_at(eye, center, up):
     return R, t
 
 
+def _u(rng, shape=None):
+    """uniform [0,1) for both RandomState and Generator rngs."""
+    if hasattr(rng, "integers"):
+        return rng.random(shape) if shape is not None else rng.random()
+    return rng.rand(*shape) if shape is not None else rng.rand()
+
+
+def _ri(rng, *a):
+    return (rng.integers if hasattr(rng, "integers") else rng.randint)(*a)
+
+
 def _background(rng):
-    kind = rng.randint(4)
+    kind = _ri(rng, 4)
     if kind == 0:
-        img = np.full((H, W, 3), rng.randint(0, 256, 3), np.float64)
+        img = np.full((H, W, 3), _ri(rng, 0, 256, 3), np.float32)
     elif kind == 1:
-        img = rng.rand(H // 8, W // 8, 3) * 255
-        img = np.kron(img, np.ones((8, 8, 1)))
+        img = (_u(rng, (H // 8, W // 8, 3)) * 255).astype(np.float32)
+        img = img.repeat(8, axis=0).repeat(8, axis=1)
     else:
-        c0, c1 = rng.rand(3) * 255, rng.rand(3) * 255
-        g = np.linspace(0, 1, W)[None, :, None]
-        if rng.rand() < 0.5:
-            g = np.linspace(0, 1, H)[:, None, None]
-        img = c0 + (c1 - c0) * g
+        c0, c1 = _u(rng, (3,)) * 255, _u(rng, (3,)) * 255
+        g = np.linspace(0, 1, W, dtype=np.float32)[None, :, None]
+        if _u(rng) < 0.5:
+            g = np.linspace(0, 1, H, dtype=np.float32)[:, None, None]
+        img = (c0 + (c1 - c0) * g).astype(np.float32)
         img = np.broadcast_to(img, (H, W, 3)).copy()
-    for _ in range(rng.randint(0, 6)):
-        x0, y0 = rng.randint(0, W - 20), rng.randint(0, H - 20)
-        w, h = rng.randint(10, 200), rng.randint(10, 150)
-        img[y0 : y0 + h, x0 : x0 + w] = rng.rand(3) * 255
+    for _ in range(_ri(rng, 0, 6)):
+        x0, y0 = _ri(rng, 0, W - 20), _ri(rng, 0, H - 20)
+        w, h = _ri(rng, 10, 200), _ri(rng, 10, 150)
+        img[y0 : y0 + h, x0 : x0 + w] = _u(rng, (3,)) * 255
     return img
 
 
@@ -206,6 +217,193 @@ def _worker(args):
     return hi_i - lo_i
 
 
+def _sample_scenes_batch(robot, bounds, rng, n, kp_fn):
+    """Vectorized scene rejection sampling: returns (q (n,dof), R (n,3,3),
+    t (n,3), kp_cam (n,K,3), kp2d (n,K,2)). Same acceptance rules as
+    _sample_scene, evaluated for whole candidate blocks with ONE batched
+    FK call per round (the per-image rejection loop costs ~10 jnp
+    dispatches/frame — too slow to feed the device renderer)."""
+    import jax.numpy as jnp
+
+    lo, hi = bounds[:, 0], bounds[:, 1]
+    K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]])
+    out = []
+    for _ in range(64):
+        need = n - len(out)
+        if need <= 0:
+            break
+        M = max(2 * need, 64)
+        q = rng.uniform(lo, hi, (M, len(lo)))
+        center = np.array([0.0, 0.0, 0.10]) + rng.uniform(-0.03, 0.03, (M, 3))
+        d = rng.uniform(0.45, 1.0, M)
+        az = rng.uniform(-np.pi, np.pi, M)
+        el = rng.uniform(0.05, 1.2, M)
+        eye = center + d[:, None] * np.stack(
+            [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], -1
+        )
+        # batched _look_at with up = (0, 0, -1)
+        z = center - eye
+        z /= np.linalg.norm(z, axis=-1, keepdims=True)
+        x = np.cross(z, np.array([0.0, 0.0, -1.0]))
+        xn = np.linalg.norm(x, axis=-1, keepdims=True)
+        x = np.where(xn > 1e-6, x / np.maximum(xn, 1e-12), [1.0, 0.0, 0.0])
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], axis=1)  # (M, 3, 3) rows = camera axes
+        t = -np.einsum("mij,mj->mi", R, eye)
+        kp_base = np.asarray(kp_fn(jnp.asarray(q)))  # (M, K, 3)
+        kp_cam = np.einsum("mij,mkj->mki", R, kp_base) + t[:, None]
+        proj = kp_cam @ K.T
+        kp2d = proj[..., :2] / proj[..., 2:3]
+        m = 12.0
+        span = kp2d.max(1) - kp2d.min(1)
+        ok = (
+            (kp_cam[..., 2].min(1) > 0.15)
+            & (kp2d[..., 0].min(1) > m)
+            & (kp2d[..., 0].max(1) < W - m)
+            & (kp2d[..., 1].min(1) > m)
+            & (kp2d[..., 1].max(1) < H - m)
+            & (span.max(1) > 70)
+        )
+        for i in np.nonzero(ok)[0][:need]:
+            out.append((q[i], R[i], t[i], kp_cam[i], kp2d[i]))
+    if len(out) < n:
+        raise RuntimeError("scene sampling failed")
+    return [np.stack([o[j] for o in out]) for j in range(5)]
+
+
+def _write_frame(out_dir, i, img, q, R_root, kp_cam, kp2d, link_names,
+                 joint_names, ext="png"):
+    """Write one image + pickle-dialect annotation (shared by both paths).
+
+    The device path writes JPEG: PNG encode of a noisy 640x480 frame costs
+    ~48 ms on this 1-core host vs ~1.5 ms for JPEG q92 — PNG would be the
+    generator's bottleneck — and mild JPEG artifacts are realistic sensor
+    augmentation. The loader globs both (data/dream.py:87-95)."""
+    from PIL import Image
+
+    if ext == "jpg":
+        Image.fromarray(img).save(
+            os.path.join(out_dir, f"{i:06d}.jpg"), quality=92
+        )
+    else:
+        Image.fromarray(img).save(
+            os.path.join(out_dir, f"{i:06d}.png"), compress_level=3
+        )
+    kp_dict = {
+        f"/World/robot/{ln}": {
+            "keypoint_positon": [float(v) for v in kp_cam[k]],
+            "keypoint_projection": [float(v) for v in kp2d[k]],
+        }
+        for k, ln in enumerate(link_names)
+    }
+    x1, y1 = kp2d.min(0) - 8
+    x2, y2 = kp2d.max(0) + 8
+    ann = {
+        "root_rot_convention": "link1",
+        "camera_ros_axes_to_robot_root_rot": R_root.T.tolist(),
+        "dofbot_joint_names_positions": {
+            jn: float(np.rad2deg(v)) for jn, v in zip(joint_names, q)
+        },
+        "keypoint_dict": kp_dict,
+        "robot_bounding_box_2d": {
+            "x_min": float(x1),
+            "y_min": float(y1),
+            "x_max": float(x2),
+            "y_max": float(y2),
+        },
+    }
+    with open(os.path.join(out_dir, f"{i:06d}.pkl"), "wb") as f:
+        pickle.dump(ann, f)
+
+
+def _run_device(args):
+    """TPU-batched generation: scenes sampled in vectorized blocks, frames
+    rendered on-device (render.raster.render_flat_batch), host does only
+    background compositing + PNG/pickle IO. On this 1-CPU host the numpy
+    path renders ~2 frames/s; the device path is bounded by PNG encode."""
+    import jax.numpy as jnp
+
+    from hrpe_tpu.data.const import JOINT_BOUNDS, JOINT_NAMES, LINK_NAMES
+    from hrpe_tpu.kinematics import load_robot
+    from hrpe_tpu.render import RobotMesh, default_link_meshes
+    from hrpe_tpu.render.raster import render_flat_batch_rgba
+
+    import jax
+
+    robot = load_robot(args.robot)
+    rm = RobotMesh(robot, default_link_meshes(robot))
+    bounds = np.asarray(JOINT_BOUNDS[args.robot], np.float64)
+    link_names = LINK_NAMES[args.robot]
+    joint_names = JOINT_NAMES[args.robot]
+    kp_fn = jax.jit(lambda q: robot.keypoints_fk_only(q))
+    pose_fn = jax.jit(lambda q: robot.keypoint_poses(q))
+    scale = 2
+    Ks = np.array(
+        [[FX / scale, 0, CX / scale], [0, FY / scale, CY / scale], [0, 0, 1]]
+    )
+    hw = (H // scale, W // scale)
+    B = args.block
+    done = 0
+    import time
+
+    t0 = time.time()
+    while done < args.n:
+        nb = min(B, args.n - done)
+        i0 = args.start + done
+        rng = np.random.RandomState(args.seed * 1000003 + i0)
+        q, R, t, kp_cam, kp2d = _sample_scenes_batch(
+            robot, bounds, rng, nb, kp_fn
+        )
+        T = np.tile(np.eye(4), (nb, 1, 1))
+        T[:, :3, :3], T[:, :3, 3] = R, t
+        verts = rm.posed_verts(
+            jnp.asarray(q, jnp.float32), jnp.asarray(T, jnp.float32)
+        )
+        light = rng.randn(nb, 3)
+        light[:, 2] = np.abs(light[:, 2]) + 0.5
+        amb = rng.uniform(0.25, 0.5, nb)
+        dif = rng.uniform(0.5, 0.75, nb)
+        body = 0.25 + 0.6 * rng.rand(nb, 3)
+        if nb < B:  # keep the jit cache to one (B,...) signature
+            pad = B - nb
+            verts = jnp.concatenate([verts, verts[-1:].repeat(pad, 0)])
+            light = np.concatenate([light, light[-1:].repeat(pad, 0)])
+            amb = np.concatenate([amb, amb[-1:].repeat(pad, 0)])
+            dif = np.concatenate([dif, dif[-1:].repeat(pad, 0)])
+            body = np.concatenate([body, body[-1:].repeat(pad, 0)])
+        rgba = np.asarray(
+            render_flat_batch_rgba(
+                verts, rm.faces, jnp.asarray(Ks), hw, jnp.asarray(light),
+                jnp.asarray(amb), jnp.asarray(dif), jnp.asarray(body),
+            )
+        )
+        TWL1 = np.asarray(pose_fn(jnp.asarray(q)))[:, 1]
+        R_root = R @ TWL1[:, :3, :3]
+        for k in range(nb):
+            frng = np.random.default_rng(args.seed * 999983 + i0 + k)
+            img = rgba[k, ..., :3].repeat(scale, axis=0).repeat(scale, axis=1)
+            mask = (
+                (rgba[k, ..., 3] > 0).repeat(scale, axis=0).repeat(scale, axis=1)
+            )
+            bg = _background(frng)
+            out = np.where(mask[..., None], img.astype(np.float32), bg)
+            out = np.clip(
+                out
+                + frng.standard_normal((H, W, 3), dtype=np.float32)
+                * frng.uniform(0, 6),
+                0,
+                255,
+            ).astype(np.uint8)
+            _write_frame(
+                args.out, i0 + k, out, q[k], R_root[k], kp_cam[k], kp2d[k],
+                link_names, joint_names, ext="jpg",
+            )
+        done += nb
+        if done % (B * 8) == 0 or done == args.n:
+            rate = done / (time.time() - t0)
+            print(f"{done}/{args.n} frames ({rate:.1f}/s)", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--robot", default="dofbot")
@@ -215,6 +413,10 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--device", choices=["host", "tpu"], default="host",
+                   help="tpu: batched on-device rendering (1 process)")
+    p.add_argument("--block", type=int, default=32,
+                   help="device path: frames per render batch")
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -227,6 +429,11 @@ def main():
             },
             f,
         )
+
+    if args.device == "tpu":
+        _run_device(args)
+        print(f"wrote {args.n} frames to {args.out}")
+        return
 
     chunks = []
     per = -(-args.n // args.workers)

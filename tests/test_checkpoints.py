@@ -73,6 +73,41 @@ def test_latest_resume_beats_best(tmp_path):
     np.testing.assert_allclose(np.asarray(state["params"]["w"]), 8.0)
 
 
+def test_struct_state_slim_roundtrip(tmp_path):
+    """The production contract: a TrainState-like struct with
+    params/batch_stats/step saves slim and restores field-by-field."""
+    import flax.struct
+
+    @flax.struct.dataclass
+    class S:
+        params: dict
+        batch_stats: dict
+        step: jnp.ndarray
+        opt_state: dict
+
+    def s(v):
+        return S(
+            params={"w": jnp.full((3,), v)},
+            batch_stats={"mean": jnp.full((2,), v + 0.5)},
+            step=jnp.asarray(int(v)),
+            opt_state={"mu": jnp.full((3,), -v)},
+        )
+
+    cm = CheckpointManager(str(tmp_path))
+    best = cm.save_if_best("dr", s(2.0), epoch=1, score=0.6, prev_best=-np.inf)
+    assert best == 0.6
+    restored = cm.restore("dr", s(0.0))
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 2.0)
+    np.testing.assert_allclose(np.asarray(restored.batch_stats["mean"]), 2.5)
+    assert int(restored.step) == 2
+    # slim checkpoint: optimizer state untouched (fresh target's kept)
+    np.testing.assert_allclose(np.asarray(restored.opt_state["mu"]), 0.0)
+    # resume() via best_dr works for struct states too
+    state, start_epoch, bests = cm.resume(s(0.0))
+    assert start_epoch == 2 and bests["dr"] == 0.6
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 2.0)
+
+
 def test_latest_epoch_guard(tmp_path):
     cm = CheckpointManager(str(tmp_path))
     cm.save_latest(_state(5.0), 5, {"dr": 0.1})
