@@ -217,14 +217,18 @@ def _worker(args):
     return hi_i - lo_i
 
 
-def _sample_scenes_batch(robot, bounds, rng, n, kp_fn):
+def _sample_scenes_batch(robot, bounds, rng, n, kp_fn, cam=None):
     """Vectorized scene rejection sampling: returns (q (n,dof), R (n,3,3),
     t (n,3), kp_cam (n,K,3), kp2d (n,K,2)). Same acceptance rules as
     _sample_scene, evaluated for whole candidate blocks with ONE batched
     FK call per round (the per-image rejection loop costs ~10 jnp
-    dispatches/frame — too slow to feed the device renderer)."""
+    dispatches/frame — too slow to feed the device renderer).
+
+    cam: optional (dmin, dmax, center_z, jitter, min_span) camera-sphere
+    geometry; the default is the dofbot-scale classic used since r4."""
     import jax.numpy as jnp
 
+    dmin, dmax, cz, jit, min_span = cam or (0.45, 1.0, 0.10, 0.03, 70.0)
     lo, hi = bounds[:, 0], bounds[:, 1]
     K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]])
     out = []
@@ -234,8 +238,8 @@ def _sample_scenes_batch(robot, bounds, rng, n, kp_fn):
             break
         M = max(2 * need, 64)
         q = rng.uniform(lo, hi, (M, len(lo)))
-        center = np.array([0.0, 0.0, 0.10]) + rng.uniform(-0.03, 0.03, (M, 3))
-        d = rng.uniform(0.45, 1.0, M)
+        center = np.array([0.0, 0.0, cz]) + rng.uniform(-jit, jit, (M, 3))
+        d = rng.uniform(dmin, dmax, M)
         az = rng.uniform(-np.pi, np.pi, M)
         el = rng.uniform(0.05, 1.2, M)
         eye = center + d[:, None] * np.stack(
@@ -262,7 +266,7 @@ def _sample_scenes_batch(robot, bounds, rng, n, kp_fn):
             & (kp2d[..., 0].max(1) < W - m)
             & (kp2d[..., 1].min(1) > m)
             & (kp2d[..., 1].max(1) < H - m)
-            & (span.max(1) > 70)
+            & (span.max(1) > min_span)
         )
         for i in np.nonzero(ok)[0][:need]:
             out.append((q[i], R[i], t[i], kp_cam[i], kp2d[i]))
@@ -316,6 +320,55 @@ def _write_frame(out_dir, i, img, q, R_root, kp_cam, kp2d, link_names,
         pickle.dump(ann, f)
 
 
+def _write_frame_json(out_dir, i, img, q, R, t, kp_cam, kp2d, robot_name):
+    """Write one DREAM-JSON-dialect frame: {i}.rgb.jpg + {i}.json with the
+    original DREAM schema (objects[0].location/quaternion_xyzw/keypoints +
+    sim_state.joints; ref README.md:38-67, dream.py:176-229). TCO here is
+    the BASE pose; the quaternion carries R_base @ R_NORMAL_UE^-1 so the
+    loader's `R_ann @ R_NORMAL_UE` reconstruction returns R_base."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from hrpe_tpu.data.const import JOINT_NAMES
+    from hrpe_tpu.data.dream import _DREAM_KP_TO_INDEX, _R_NORMAL_UE
+    from hrpe_tpu.utils.geometry import rotmat_to_quat
+
+    Image.fromarray(img).save(os.path.join(out_dir, f"{i:06d}.rgb.jpg"),
+                              quality=92)
+    R_ann = R @ np.linalg.inv(_R_NORMAL_UE)
+    qw = np.asarray(rotmat_to_quat(jnp.asarray(R_ann)[None]))[0]
+    inv_names = {k: n for n, k in _DREAM_KP_TO_INDEX[robot_name].items()}
+    ann = {
+        "objects": [
+            {
+                "location": [float(v) for v in t],
+                "quaternion_xyzw": [float(qw[1]), float(qw[2]),
+                                    float(qw[3]), float(qw[0])],
+                "keypoints": [
+                    {
+                        "name": inv_names[k],
+                        "location": [float(v) for v in kp_cam[k]],
+                        "projected_location": [float(v) for v in kp2d[k]],
+                    }
+                    for k in range(kp_cam.shape[0])
+                ],
+                "bounding_box": {
+                    "min": [float(v) for v in kp2d.min(0) - 8],
+                    "max": [float(v) for v in kp2d.max(0) + 8],
+                },
+            }
+        ],
+        "sim_state": {
+            "joints": [
+                {"name": f"/sim/{jn}", "position": float(v)}
+                for jn, v in zip(JOINT_NAMES[robot_name], q)
+            ]
+        },
+    }
+    with open(os.path.join(out_dir, f"{i:06d}.json"), "w") as f:
+        json.dump(ann, f)
+
+
 def _run_device(args):
     """TPU-batched generation: scenes sampled in vectorized blocks, frames
     rendered on-device (render.raster.render_flat_batch), host does only
@@ -337,6 +390,19 @@ def _run_device(args):
     joint_names = JOINT_NAMES[args.robot]
     kp_fn = jax.jit(lambda q: robot.keypoints_fk_only(q))
     pose_fn = jax.jit(lambda q: robot.keypoint_poses(q))
+    if args.robot == "dofbot":
+        cam = None  # classic dofbot-scale camera sphere (r4 datasets)
+    else:
+        # scale the camera sphere by the robot's reach so larger arms
+        # (panda ~0.9 m, baxter ~1.2 m) frame like the dofbot default
+        probe = np.asarray(
+            kp_fn(jnp.asarray(np.random.RandomState(0).uniform(
+                bounds[:, 0], bounds[:, 1], (256, bounds.shape[0]))))
+        )
+        reach = float(np.linalg.norm(probe, axis=-1).max())
+        cam = (1.3 * reach, 2.9 * reach, 0.29 * reach, 0.09 * reach, 70.0)
+        print(f"robot reach {reach:.3f} m -> camera d in "
+              f"[{cam[0]:.2f}, {cam[1]:.2f}] m")
     scale = 2
     Ks = np.array(
         [[FX / scale, 0, CX / scale], [0, FY / scale, CY / scale], [0, 0, 1]]
@@ -352,7 +418,7 @@ def _run_device(args):
         i0 = args.start + done
         rng = np.random.RandomState(args.seed * 1000003 + i0)
         q, R, t, kp_cam, kp2d = _sample_scenes_batch(
-            robot, bounds, rng, nb, kp_fn
+            robot, bounds, rng, nb, kp_fn, cam=cam
         )
         T = np.tile(np.eye(4), (nb, 1, 1))
         T[:, :3, :3], T[:, :3, 3] = R, t
@@ -394,10 +460,16 @@ def _run_device(args):
                 0,
                 255,
             ).astype(np.uint8)
-            _write_frame(
-                args.out, i0 + k, out, q[k], R_root[k], kp_cam[k], kp2d[k],
-                link_names, joint_names, ext="jpg",
-            )
+            if args.dialect == "json":
+                _write_frame_json(
+                    args.out, i0 + k, out, q[k], R[k], t[k], kp_cam[k],
+                    kp2d[k], args.robot,
+                )
+            else:
+                _write_frame(
+                    args.out, i0 + k, out, q[k], R_root[k], kp_cam[k],
+                    kp2d[k], link_names, joint_names, ext="jpg",
+                )
         done += nb
         if done % (B * 8) == 0 or done == args.n:
             rate = done / (time.time() - t0)
@@ -415,6 +487,9 @@ def main():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--device", choices=["host", "tpu"], default="host",
                    help="tpu: batched on-device rendering (1 process)")
+    p.add_argument("--dialect", choices=["pickle", "json"], default="pickle",
+                   help="annotation dialect (json = original DREAM schema; "
+                        "device path only)")
     p.add_argument("--block", type=int, default=32,
                    help="device path: frames per render batch")
     args = p.parse_args()
