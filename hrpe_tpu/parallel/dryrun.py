@@ -1,18 +1,20 @@
 """Multi-chip dry-run child: the FULL sharded train step on a virtual CPU mesh.
 
-Run as `python -m hrpe_tpu.parallel.dryrun <n_devices>` with a CLEAN
-environment (no axon/TPU plugin): __graft_entry__.dryrun_multichip spawns
-this in a subprocess because the driver's own process has already
+Run as `python -m hrpe_tpu.parallel.dryrun <n_devices> [slim]` with a
+CLEAN environment (no axon/TPU plugin): __graft_entry__.dryrun_multichip
+spawns this in a subprocess because the driver's own process has already
 initialized the TPU backend, and JAX backends cannot be switched after
 init. Env is also forced here, defensively, before jax is imported.
 
 The step is the real data-parallel training step — all 10 weighted losses
 (SURVEY.md §2.3 / ref lib/core/function.py:200-358), batch sharded over a
 1-D ('data',) Mesh, params replicated, gradient all-reduce inserted by XLA
-from the shardings. The model is deliberately slim (resnet18 both branches
-at 64 px, B=2/device) so the whole run — import, trace, CPU compile,
-execute — finishes in ~1 minute; the sharding semantics are identical to
-the production resnet50+hrnet32 configuration.
+from the shardings. Since round 5 the default graph is the FLAGSHIP
+configuration (hrnet32 rootnet + resnet50 regression at 256^2, in-graph
+PnP GT-rot refit enabled — VERDICT r4 #6); pass `slim` for the fast
+resnet18@64 variant used while iterating. The batch is geometrically
+self-consistent (FK-derived keypoints/projections) so the PnP
+Gauss-Newton path is exercised on solvable inputs.
 """
 
 from __future__ import annotations
@@ -34,7 +36,77 @@ def _force_cpu(n_devices: int) -> None:
         ).strip()
 
 
-def main(n_devices: int) -> None:
+def make_consistent_batch(robot, cfg, B: int, S: int, seed: int = 0):
+    """A geometrically self-consistent training batch: annotations are
+    derived from the chain's own FK at random poses, so every loss term
+    (incl. the PnP rot refit) sees solvable inputs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dof, nk = robot.dof, robot.num_keypoints
+    q = rng.uniform(-0.4, 0.4, (B, dof)).astype(np.float32)
+    # root pose: mild rotation, ~1 m in front of the camera
+    from ..utils.geometry import rotmat_to_rot6d
+
+    A = rng.randn(B, 3, 3) * 0.2 + np.eye(3)
+    Rr = np.linalg.qr(A)[0].astype(np.float32)
+    det = np.linalg.det(Rr)
+    Rr[det < 0] *= -1.0
+    t = np.stack(
+        [rng.uniform(-0.1, 0.1, B), rng.uniform(-0.1, 0.1, B),
+         rng.uniform(0.8, 1.2, B)], -1
+    ).astype(np.float32)
+    r6 = np.asarray(rotmat_to_rot6d(jnp.asarray(Rr)))
+    root_id = int(cfg.reference_keypoint_id)
+    kp3d = np.asarray(
+        robot.keypoints_root(
+            jnp.asarray(q), jnp.asarray(r6), jnp.asarray(t), root=root_id
+        )
+    )
+    TCO = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    TCO[:, :3, :3] = Rr
+    TCO[:, :3, 3] = t
+
+    crop_K = np.asarray(
+        [[320.0, 0, S / 2], [0, 320.0, S / 2], [0, 0, 1]], np.float32
+    )
+    orig_K = np.asarray(
+        [[320.0, 0, 320.0], [0, 320.0, 240.0], [0, 0, 1]], np.float32
+    )
+
+    def proj(kp, K):
+        p = kp @ K.T
+        return (p[..., :2] / np.maximum(p[..., 2:3], 1e-6)).astype(np.float32)
+
+    kp2d_crop = proj(kp3d, crop_K)
+    kp2d_orig = proj(kp3d, orig_K)
+    bb = np.concatenate(
+        [kp2d_crop.min(1) - 4, kp2d_crop.max(1) + 4], -1
+    ).astype(np.float32)
+    bb_orig = np.concatenate(
+        [kp2d_orig.min(1) - 10, kp2d_orig.max(1) + 10], -1
+    ).astype(np.float32)
+    return {
+        "root_images": rng.randint(0, 255, (B, S, S, 3)).astype(np.uint8),
+        "other_images": rng.randint(0, 255, (B, S, S, 3)).astype(np.uint8),
+        "root_K": np.tile(crop_K, (B, 1, 1)),
+        "other_K": np.tile(crop_K, (B, 1, 1)),
+        "K_original": np.tile(orig_K, (B, 1, 1)),
+        "TCO": TCO,
+        "jointpose": q,
+        "keypoints_2d_original": kp2d_orig,
+        "valid_mask": np.ones((B, nk), np.float32),
+        "bbox_strict_bounded_original": bb_orig,
+        "root_bbox_strict_bounded": bb,
+        "root_bbox_gt2d_extended": bb,
+        "other_keypoints_2d": kp2d_crop,
+        "other_keypoints_3d": kp3d.astype(np.float32),
+        "other_valid_mask_crop": np.ones((B, nk), np.float32),
+    }
+
+
+def main(n_devices: int, slim: bool = False) -> None:
     _force_cpu(n_devices)
 
     import jax
@@ -55,13 +127,17 @@ def main(n_devices: int) -> None:
 
     mesh = make_mesh(devices[:n_devices])
 
+    backbone = "resnet18" if slim else "resnet50"
+    rootnet = "resnet18" if slim else "hrnet32"
+    S = 64 if slim else 256
+
     cfg = make_default_config()
     cfg.urdf_robot_name = "panda"
-    cfg.backbone_name = "resnet18"
-    cfg.rootnet_backbone_name = "resnet18"
-    cfg.image_size = 64.0
-    cfg.other_image_size = 64.0
-    cfg.rootnet_image_size = 64.0
+    cfg.backbone_name = backbone
+    cfg.rootnet_backbone_name = rootnet
+    cfg.image_size = float(S)
+    cfg.other_image_size = float(S)
+    cfg.rootnet_image_size = float(S)
     # enable every loss term so the dry-run compiles the full graph
     cfg.pose_loss_weight = 1.0
     cfg.rot_loss_weight = 1.0
@@ -76,44 +152,16 @@ def main(n_devices: int) -> None:
 
     mcfg = FullNetConfig(
         robot_type="panda",
-        backbone_name="resnet18",
-        rootnet_backbone_name="resnet18",
-        image_size=64,
+        backbone_name=backbone,
+        rootnet_backbone_name=rootnet,
+        image_size=S,
     )
     model = build_full_net(mcfg)
     robot = load_robot("panda")
     tx = make_optimizer(cfg)
 
-    B = 2 * n_devices
-    S = 64
-    nk, dof = 7, 8
-    rng = np.random.RandomState(0)
-    crop_K = np.asarray([[320.0, 0, 32.0], [0, 320.0, 32.0], [0, 0, 1]], np.float32)
-    orig_K = np.asarray([[320.0, 0, 320.0], [0, 320.0, 240.0], [0, 0, 1]], np.float32)
-    batch = {
-        "root_images": rng.randint(0, 255, (B, S, S, 3)).astype(np.uint8),
-        "other_images": rng.randint(0, 255, (B, S, S, 3)).astype(np.uint8),
-        "root_K": np.tile(crop_K, (B, 1, 1)),
-        "other_K": np.tile(crop_K, (B, 1, 1)),
-        "K_original": np.tile(orig_K, (B, 1, 1)),
-        "TCO": np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)),
-        "jointpose": rng.uniform(-0.3, 0.3, (B, dof)).astype(np.float32),
-        "keypoints_2d_original": rng.uniform(0, 400, (B, nk, 2)).astype(np.float32),
-        "valid_mask": np.ones((B, nk), np.float32),
-        "bbox_strict_bounded_original": np.tile(
-            np.asarray([100, 100, 400, 380], np.float32), (B, 1)
-        ),
-        "root_bbox_strict_bounded": np.tile(
-            np.asarray([10, 10, 60, 60], np.float32), (B, 1)
-        ),
-        "root_bbox_gt2d_extended": np.tile(
-            np.asarray([5, 5, 62, 62], np.float32), (B, 1)
-        ),
-        "other_keypoints_2d": rng.uniform(0, S, (B, nk, 2)).astype(np.float32),
-        "other_keypoints_3d": rng.uniform(-0.3, 0.3, (B, nk, 3)).astype(np.float32),
-        "other_valid_mask_crop": np.ones((B, nk), np.float32),
-    }
-    batch["TCO"][:, 2, 3] = 1.0
+    B = (2 if slim else 1) * n_devices
+    batch = make_consistent_batch(robot, cfg, B, S)
 
     with mesh:
         state = create_train_state(
@@ -133,15 +181,20 @@ def main(n_devices: int) -> None:
         batch_dev = jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), bsh), batch
         )
-        step = make_full_net_step(cfg, model, tx, robot, use_pnp=False)
+        # flagship graph: in-graph PnP GT-rot refit ON (VERDICT r4 #6)
+        step = make_full_net_step(cfg, model, tx, robot, use_pnp=not slim)
         new_state, loss_dict = step(state, batch_dev, jax.random.PRNGKey(1))
         jax.block_until_ready(loss_dict["loss"])
         loss = float(loss_dict["loss"])
         assert np.isfinite(loss), loss_dict
         # the updated params really are sharded-replicated over the mesh
         assert int(new_state.step) == 1
-    print(f"DRYRUN_OK n_devices={n_devices} loss={loss:.4f}")
+    tag = "slim" if slim else "flagship"
+    print(f"DRYRUN_OK n_devices={n_devices} graph={tag} loss={loss:.4f}")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+        slim="slim" in sys.argv[2:],
+    )

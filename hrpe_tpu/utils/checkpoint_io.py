@@ -339,6 +339,65 @@ def convert_tensor(v: np.ndarray, kind: str) -> np.ndarray:
     return v
 
 
+def invert_tensor(v: np.ndarray, kind: str) -> np.ndarray:
+    """Inverse of convert_tensor: flax layout -> torch layout."""
+    if kind == "conv":
+        return np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+    if kind == "convT":
+        return np.transpose(v[::-1, ::-1], (2, 3, 0, 1))
+    if kind == "linear":
+        return np.transpose(v)
+    if kind == "conv1x1_dense":
+        return np.transpose(v)[:, :, None, None]  # (in,out) -> (out,in,1,1)
+    return v
+
+
+def export_state_dict(
+    variables: Dict,
+    torch_keys,
+    translate,
+    strict: bool = True,
+):
+    """Export a flax variables tree into a reference-format state_dict.
+
+    The exact inverse of import_state_dict: for every key the reference
+    model expects (`torch_keys`, from its state_dict), map it through
+    `translate` to our tree path and invert the layout transform. This is
+    what proves checkpoint-compatible outputs both ways (SURVEY §5.4;
+    ref save layout utils.py:244-268): a .pk written here loads into the
+    reference's torch model with strict=True.
+
+    num_batches_tracked leaves (untranslated) are emitted as 0 — the
+    reference only uses them with BN momentum=None, which it never does.
+    Returns (state_dict, report).
+    """
+    import flax
+
+    flat = {}
+    for coll in variables:
+        for path, leaf in flax.traverse_util.flatten_dict(variables[coll]).items():
+            flat[(coll,) + path] = np.asarray(leaf)
+
+    sd, missing = {}, []
+    for key in torch_keys:
+        if key.endswith("num_batches_tracked"):
+            sd[key] = np.asarray(0, np.int64)
+            continue
+        tr = translate(key)
+        if tr is None:
+            missing.append(key)
+            continue
+        coll, path, kind = tr
+        full = (coll,) + tuple(path)
+        if full not in flat:
+            missing.append(key)
+            continue
+        sd[key] = invert_tensor(np.asarray(flat[full], np.float32), kind)
+    if strict and missing:
+        raise ValueError(f"export missing {len(missing)} keys: {missing[:8]}")
+    return sd, {"exported": len(sd), "missing": missing}
+
+
 def import_state_dict(
     torch_sd: Dict[str, np.ndarray],
     variables: Dict,

@@ -55,6 +55,87 @@ def plot_joints_3d(kp_pred, kp_gt, save_path=None, title=""):
     return fig
 
 
+def _connectivity(n_kp: int, robot: str | None = None):
+    """Skeleton edges between keypoints. Serial chains connect consecutive
+    keypoints; baxter's branching tree gets its own table (ref
+    vis.py CONNECTIVITY_DICT semantics)."""
+    if robot == "baxter":
+        # torso -> head, torso -> left/right arm chains (17 keypoints:
+        # 1 torso + 8 per arm, const.py:61-75 ordering)
+        edges = [(0, 1)]
+        for base in (1, 9):
+            edges += [(i, i + 1) for i in range(base, base + 7)]
+        return [e for e in edges if e[1] < n_kp]
+    return [(i, i + 1) for i in range(n_kp - 1)]
+
+
+def vis_joints_3d_grid(
+    images,
+    kp3d_pred,
+    kp3d_gt,
+    K,
+    save_path,
+    n_samples: int = 8,
+    robot: str | None = None,
+    errors=None,
+    title: str = "",
+):
+    """Multi-sample pred-vs-GT grid (ref vis.py:40-378 `vis_joints_3d`).
+
+    One row per sample, four panels: input image with projected pred(red)
+    / GT(green) keypoint overlays, then the 3D skeletons from three view
+    angles. images (B,H,W,3) uint8; kp3d_* (B,K,3) camera-frame metres;
+    K (B,3,3) intrinsics of the crop view.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    images = np.asarray(images)
+    kp3d_pred = np.asarray(kp3d_pred)
+    kp3d_gt = np.asarray(kp3d_gt)
+    K = np.asarray(K)
+    B = min(n_samples, len(images))
+    edges = _connectivity(kp3d_pred.shape[1], robot)
+    views = [(20, -60), (90, -90), (0, -90)]
+
+    fig = plt.figure(figsize=(4 * 3.2, B * 3.0))
+    for r in range(B):
+        proj = lambda p: (p @ K[r].T)[:, :2] / np.maximum(
+            (p @ K[r].T)[:, 2:3], 1e-9
+        )
+        ax = fig.add_subplot(B, 4, r * 4 + 1)
+        ax.imshow(images[r])
+        for pts, c in ((proj(kp3d_gt[r]), "lime"), (proj(kp3d_pred[r]), "red")):
+            ax.scatter(pts[:, 0], pts[:, 1], c=c, s=12)
+            for a, b in edges:
+                ax.plot(pts[[a, b], 0], pts[[a, b], 1], c=c, lw=1)
+        ax.set_xlim(0, images[r].shape[1])
+        ax.set_ylim(images[r].shape[0], 0)
+        ax.axis("off")
+        if errors is not None:
+            ax.set_title(f"ADD {errors[r]*1000:.1f} mm", fontsize=8)
+        for v, (elev, azim) in enumerate(views):
+            ax3 = fig.add_subplot(B, 4, r * 4 + 2 + v, projection="3d")
+            for pts, c, lbl in ((kp3d_gt[r], "green", "gt"),
+                                (kp3d_pred[r], "red", "pred")):
+                ax3.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=c, s=8)
+                for a, b in edges:
+                    ax3.plot(pts[[a, b], 0], pts[[a, b], 1], pts[[a, b], 2],
+                             c=c, lw=1)
+            ax3.view_init(elev=elev, azim=azim)
+            ax3.tick_params(labelsize=5)
+            if r == 0 and v == 0:
+                ax3.legend(["gt", "pred"], fontsize=6)
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=90)
+    plt.close(fig)
+    return save_path
+
+
 def save_mask_overlay(path, image, mask, alpha=0.5):
     """Blend a [0,1] mask in red over an image (sim2real debugging)."""
     from PIL import Image

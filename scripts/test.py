@@ -122,8 +122,11 @@ def main():
     times = []
     n_images = 0
     epoch_meta = ckpt.read_meta(args.ckpt_tag)
+    first_batch = None
     for batch in loader:
         batch, n_real = _pad_batch(batch, cfg.batch_size)
+        if first_batch is None:
+            first_batch = (batch, n_real)
         batch = shard_batch(trainer.mesh, batch)
         t0 = time.perf_counter()
         out = trainer.eval_fn(state, batch)
@@ -245,6 +248,50 @@ def main():
             auc_value=summary["ADD/AUC"],
         )
         lines.append("wrote result/add_distribution_curve.jpg")
+
+    if pipeline == "full" and first_batch is not None:
+        # multi-sample pred-vs-GT grid (ref vis.py:40-378 — VERDICT r4 #9)
+        try:
+            import jax.numpy as jnp
+
+            from hrpe_tpu.engine.losses import k_values as _kv2
+            from hrpe_tpu.utils.vis import vis_joints_3d_grid
+
+            fb, n_real = first_batch
+            kv = _kv2(fb["root_bbox_strict_bounded"], fb["root_K"])
+            out = jax.jit(
+                lambda v, o, r, k, K: trainer.model.apply(
+                    v, o, r, k, K, train=False
+                )
+            )(
+                {**state.variables, **(trainer.extra_vars or {})},
+                jnp.asarray(fb["other_images"], jnp.float32) / 255.0,
+                jnp.asarray(fb["root_images"], jnp.float32) / 255.0,
+                kv,
+                jnp.asarray(fb["other_K"], jnp.float32),
+            )
+            kp_pred = np.asarray(
+                trainer.robot.keypoints_root(
+                    out.pose, out.rot, out.trans,
+                    root=int(cfg.reference_keypoint_id),
+                )
+            )
+            kp_gt = fb["other_keypoints_3d"]
+            add = np.linalg.norm(kp_pred - kp_gt, axis=-1).mean(-1)
+            vis_joints_3d_grid(
+                fb["other_images"][:n_real],
+                kp_pred[:n_real],
+                kp_gt[:n_real],
+                fb["other_K"][:n_real],
+                os.path.join(result_dir, "pred_vs_gt_grid.png"),
+                n_samples=8,
+                robot=cfg.urdf_robot_name,
+                errors=add[:n_real],
+                title=f"{os.path.basename(ds_path)} — pred(red) vs gt(green)",
+            )
+            lines.append("wrote result/pred_vs_gt_grid.png")
+        except Exception as e:  # noqa: BLE001 — viz must not break eval
+            lines.append(f"(grid viz failed: {type(e).__name__}: {e})")
 
     text = "\n".join(lines)
     summary_name = f"summary_{args.qmode}.txt" if args.qmode else "summary.txt"
