@@ -22,7 +22,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.quant import QTensor, QuantConv, Requant, SpecRequest, deq
+from ..ops.quant import (QTensor, QuantConv, Requant, SpecRequest, deq,
+                         to_scalar_scale)
 from .resnet import BasicBlock, Bottleneck
 
 # stage configs (ref: backbones/configs/hrnet_w32.yaml:55-93 / hrnet_w48)
@@ -148,10 +149,11 @@ class HRModule(nn.Module):
                     )(SpecRequest(C), False)
                     for k in range(self.blocks)
                 ]
-                w, s, s_out = fold_basicblock_chain(specs, x.scale)
-                B, H, W, _ = x.data.shape
+                xs = to_scalar_scale(x)  # chain kernels fold scalar s_in
+                w, s, s_out = fold_basicblock_chain(specs, xs.scale)
+                B, H, W, _ = xs.data.shape
                 q = basicblock_chain_int8(
-                    x.data.reshape(B, H * W, C), w, s, H, W
+                    xs.data.reshape(B, H * W, C), w, s, H, W
                 )
                 ys.append(QTensor(q.reshape(B, H, W, C), s_out))
                 continue
@@ -277,9 +279,10 @@ class HRNet(nn.Module):
                     SpecRequest(64 if k == 0 else 256), False)
                 for k in range(4)
             ]
-            blk, s_out = fold_bottleneck_chain(specs, x.scale)
-            B, H, W, C = x.data.shape
-            q = bottleneck_chain_int8(x.data.reshape(B, H * W, C), blk, H, W)
+            xs = to_scalar_scale(x)  # chain kernels fold scalar s_in
+            blk, s_out = fold_bottleneck_chain(specs, xs.scale)
+            B, H, W, C = xs.data.shape
+            q = bottleneck_chain_int8(xs.data.reshape(B, H * W, C), blk, H, W)
             x = QTensor(q.reshape(B, H, W, 256), s_out)
         else:
             for k in range(4):

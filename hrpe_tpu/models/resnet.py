@@ -18,7 +18,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.quant import ConvSpec, QuantConv, Requant, SpecRequest, deq
+from ..ops.quant import (ConvSpec, QuantConv, Requant, SpecRequest, deq,
+                         to_scalar_scale)
 
 
 def _bn_affine(bn_module, C):
@@ -255,6 +256,7 @@ class ResNet(nn.Module):
                 fold_bottleneck_chain,
             )
 
+            x = to_scalar_scale(x)  # chain kernels fold scalar s_in
             B, H, W, _ = x.data.shape
             q, s = x.data.reshape(B, H * W, x.data.shape[-1]), x.scale
             in_ch = 64

@@ -55,7 +55,7 @@ class QTensor(NamedTuple):
     """An int8 activation tensor together with its (static) scale."""
 
     data: jax.Array  # int8, NHWC
-    scale: jax.Array  # () f32; dequantized value = data * scale
+    scale: jax.Array  # () or (C,) f32; dequantized value = data * scale
 
 
 class SpecRequest(NamedTuple):
@@ -88,6 +88,23 @@ def _shape_of(x):
     return x.data.shape if isinstance(x, QTensor) else x.shape
 
 
+def to_scalar_scale(x: QTensor) -> QTensor:
+    """Collapse a per-channel QTensor to one per-tensor scale.
+
+    The fused Pallas chain kernels (ops/pallas/conv_chain.py) fold SCALAR
+    input scales into their per-block scale rows; per-channel activation
+    scales (round-5 calibration) are requantized down to the channel max
+    before entering a chain. int8f numerics therefore match the pre-r5
+    per-tensor behavior (it is quality-gated separately in bench.py)."""
+    if x.scale.ndim == 0:
+        return x
+    s0 = jnp.max(x.scale)
+    q = jnp.clip(
+        jnp.round(x.data.astype(jnp.float32) * (x.scale / s0)), -127, 127
+    ).astype(jnp.int8)
+    return QTensor(q, s0)
+
+
 class Requant(nn.Module):
     """End-of-region requantization point.
 
@@ -105,16 +122,25 @@ class Requant(nn.Module):
         assert self.qmode in QMODES, self.qmode
         if self.qmode is None:
             return x
+        # PER-CHANNEL activation scales (round 5): trained-weight trunks
+        # have per-channel activation ranges spanning >10x; one tensor-max
+        # scale wastes most of the int8 grid on the quiet channels (the r4
+        # fidelity failure: uvd delta 9 heatmap cells). A (C,) scale is
+        # free at serving time — consumers fold it into the next conv's
+        # weights before weight quantization (see QuantConv).
+        C = x.cin if isinstance(x, SpecRequest) else _shape_of(x)[-1]
         out_max = self.variable(
-            "quant", "out_max", lambda: jnp.zeros((), jnp.float32)
+            "quant", "out_max", lambda: jnp.zeros((C,), jnp.float32)
         )
         if isinstance(x, SpecRequest):
-            # fused serving path asks only for the calibrated scale
-            return jnp.maximum(out_max.value, 1e-6) / 127.0
+            # fused chain path folds ONE scalar input scale per chain
+            return jnp.maximum(jnp.max(out_max.value), 1e-6) / 127.0
         if self.qmode == "calib":
             if not self.is_initializing():
+                red = tuple(range(x.ndim - 1))
                 out_max.value = jnp.maximum(
-                    out_max.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                    out_max.value,
+                    jnp.max(jnp.abs(x), axis=red).astype(jnp.float32),
                 )
             return x
         s = jnp.maximum(out_max.value, 1e-6) / 127.0
@@ -168,23 +194,32 @@ class QuantConv(nn.Module):
             else:
                 # act_max was recorded by a calibration pass; it is a
                 # variable, not a param, so checkpoints are unaffected.
+                # Per-channel (cin,) since round 5 — see Requant.
                 act_max = self.variable(
-                    "quant", "act_max", lambda: jnp.zeros((), jnp.float32)
+                    "quant", "act_max", lambda: jnp.zeros((cin,), jnp.float32)
                 )
                 sx = jnp.maximum(act_max.value, 1e-6) / 127.0
                 xq = jnp.clip(
                     jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127, 127
                 ).astype(jnp.int8)
-            wmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+            # fold the (per-channel) input scale into the kernel BEFORE
+            # weight quantization: conv(x/sx, k*sx) == conv(x, k), so the
+            # int8 conv and its epilogue are unchanged — the per-cin scale
+            # costs nothing at serving time (it reshapes calibration
+            # precision, standard w8a8 recipe)
+            k_eff = kernel * (
+                jnp.reshape(sx, (1, 1, -1, 1)) if sx.ndim else sx
+            )
+            wmax = jnp.max(jnp.abs(k_eff), axis=(0, 1, 2))
             sw = jnp.maximum(wmax, 1e-12) / 127.0
-            wq = jnp.round(kernel * (1.0 / sw)).astype(jnp.int8)
+            wq = jnp.round(k_eff * (1.0 / sw)).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 xq, wq, tuple(self.strides), self.padding,
                 rhs_dilation=tuple(self.kernel_dilation),
                 dimension_numbers=dn,
                 preferred_element_type=jnp.int32,
             )
-            y = y.astype(jnp.float32) * (sx * sw)
+            y = y.astype(jnp.float32) * sw
             if bias is not None:
                 y = y + bias
             # NOTE on glue dtype (measured on v5e, full trunks at batch
@@ -199,11 +234,13 @@ class QuantConv(nn.Module):
 
         if self.qmode == "calib":
             act_max = self.variable(
-                "quant", "act_max", lambda: jnp.zeros((), jnp.float32)
+                "quant", "act_max", lambda: jnp.zeros((cin,), jnp.float32)
             )
             if not self.is_initializing():
+                red = tuple(range(x.ndim - 1))
                 act_max.value = jnp.maximum(
-                    act_max.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                    act_max.value,
+                    jnp.max(jnp.abs(x), axis=red).astype(jnp.float32),
                 )
 
         y = jax.lax.conv_general_dilated(

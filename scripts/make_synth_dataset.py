@@ -175,7 +175,7 @@ def _worker(args):
     import jax.numpy as jnp
 
     for i in range(lo_i, hi_i):
-        rng = np.random.RandomState(seed * 1000003 + i)
+        rng = np.random.RandomState((seed * 1000003 + i) % 2**32)
         q, R, t, kp_cam, kp2d = _sample_scene(robot, bounds, rng)
         img = _render_frame(rm, q, R, t, rng)
         Image.fromarray(img).save(os.path.join(out_dir, f"{i:06d}.png"))
@@ -416,7 +416,7 @@ def _run_device(args):
     while done < args.n:
         nb = min(B, args.n - done)
         i0 = args.start + done
-        rng = np.random.RandomState(args.seed * 1000003 + i0)
+        rng = np.random.RandomState((args.seed * 1000003 + i0) % 2**32)
         q, R, t, kp_cam, kp2d = _sample_scenes_batch(
             robot, bounds, rng, nb, kp_fn, cam=cam
         )

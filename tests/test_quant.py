@@ -49,14 +49,16 @@ def test_calib_records_running_max():
     x1 = jnp.full((1, 4, 4, 4), 2.0)
     x2 = jnp.full((1, 4, 4, 4), 5.0)
     v = m.init(jax.random.PRNGKey(0), x1)
-    assert float(v["quant"]["act_max"]) == 0.0
+    # per-channel (cin,) running max since round 5
+    np.testing.assert_array_equal(np.asarray(v["quant"]["act_max"]), 0.0)
+    assert v["quant"]["act_max"].shape == (4,)
     _, upd = m.apply(v, x1, mutable=["quant"])
-    assert float(upd["quant"]["act_max"]) == 2.0
+    np.testing.assert_array_equal(np.asarray(upd["quant"]["act_max"]), 2.0)
     _, upd = m.apply({**v, **upd}, x2, mutable=["quant"])
-    assert float(upd["quant"]["act_max"]) == 5.0
+    np.testing.assert_array_equal(np.asarray(upd["quant"]["act_max"]), 5.0)
     # a smaller batch must not shrink the recorded max
     _, upd2 = m.apply({"params": v["params"], **upd}, x1, mutable=["quant"])
-    assert float(upd2["quant"]["act_max"]) == 5.0
+    np.testing.assert_array_equal(np.asarray(upd2["quant"]["act_max"]), 5.0)
 
 
 def test_int8_error_bounded():
@@ -100,12 +102,17 @@ def test_requant_calib_then_int8_roundtrip():
     mc = Requant("calib")
     v = mc.init(jax.random.PRNGKey(0), x)
     _, q = mc.apply(v, x, mutable=["quant"])
-    assert float(q["quant"]["out_max"]) == float(jnp.max(jnp.abs(x)))
+    # per-channel (C,) running max since round 5
+    np.testing.assert_allclose(
+        np.asarray(q["quant"]["out_max"]),
+        np.max(np.abs(np.asarray(x)), axis=(0, 1, 2)),
+    )
     m8 = Requant("int8")
     out = m8.apply(q, x)
     assert isinstance(out, QTensor) and out.data.dtype == jnp.int8
+    assert out.scale.shape == (3,)
     err = np.abs(np.asarray(deq(out, jnp.float32)) - np.asarray(x))
-    assert err.max() <= float(out.scale) * 0.5 + 1e-7
+    assert err.max() <= float(np.max(out.scale)) * 0.5 + 1e-7
 
 
 def test_pipelined_block_fidelity():
