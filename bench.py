@@ -7,8 +7,9 @@ of the flagship RootNetwithRegInt (hrnet32 rootnet + resnet50 regression,
 
 Serving configurations measured:
   * bf16  — the training-numerics path (pallas fused integral decode).
-  * int8  — w8a8 (ops/quant.py): per-channel weight scales, per-tensor
-    activation scales, int8 MXU convs.
+  * int8  — w8a8 (ops/quant.py): per-channel weight AND activation
+    scales (the static per-cin activation scale folds into the kernel
+    before weight quantization), int8 MXU convs.
   * int8f — int8 plus fused Pallas residual-block chains
     (ops/pallas/conv_chain.py): whole BasicBlock/Bottleneck stacks run
     VMEM-resident, killing the requantize HBM round-trips.
@@ -20,8 +21,10 @@ when present, else random init. Calibration: real dataset images
 Fidelity gate (per quantized config, against the bf16 model on the same
 inputs): max |uvd delta| < 1/64 (one integral-heatmap cell) always; with
 trained weights additionally depth/trans < 2 cm, pose < 0.02 rad,
-rot < 0.02 (6D units). The headline is the fastest configuration that
-passes its gate; every configuration's number is reported.
+rot < 0.02 (6D units), AND metric-level parity — the ADD AUC computed on
+the bench batch's GT keypoints must sit within 0.5% relative of bf16
+(the BASELINE.json envelope). The headline is the fastest configuration
+that passes its gate; every configuration's number is reported.
 
 Timing notes for this hosted TPU runtime: block_until_ready returns
 early, identical dispatches are memoized, and every dispatch+fetch pays a
@@ -104,7 +107,8 @@ def load_real_batch():
             jnp.float32,
         )
         K = jnp.asarray(tile(b["other_K"]), jnp.float32)
-        return reg, root, k, K
+        gt = {"kp3d": tile(b["other_keypoints_3d"])}
+        return reg, root, k, K, gt
     except Exception as e:  # noqa: BLE001 — bench must not die on data issues
         print(f"# calib data load failed ({e}); falling back to random", flush=True)
         return None
@@ -127,8 +131,9 @@ def main():
 
     rng = np.random.RandomState(0)
     real = load_real_batch()
+    gt = None
     if real is not None:
-        reg, root, k, K = real
+        reg, root, k, K, gt = real
     else:
         reg = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
         root = jnp.asarray(rng.rand(BATCH, 256, 256, 3), jnp.float32)
@@ -203,6 +208,31 @@ def main():
 
     out_ref = jax.device_get(run_ref(variables, reg, root, k, K))
 
+    # metric-level fidelity: ADD AUC of each serving config on the bench
+    # batch's GT keypoints (VERDICT r4: the gate that matters is METRIC
+    # parity, not just output deltas). Only meaningful with trained
+    # weights + real data.
+    def add_auc(outs):
+        if gt is None:
+            return None
+        from hrpe_tpu.engine.metrics import auc as _auc
+        from hrpe_tpu.kinematics import load_robot
+
+        robot = load_robot(cfg.robot_type)
+        kp = np.asarray(
+            robot.keypoints_root(
+                jnp.asarray(np.asarray(outs["pose"], np.float32)),
+                jnp.asarray(np.asarray(outs["rot"], np.float32)),
+                jnp.asarray(np.asarray(outs["trans"], np.float32)),
+                root=cfg.reference_keypoint_id,
+            )
+        )
+        dis = np.linalg.norm(kp - gt["kp3d"], axis=-1).mean(-1)
+        return float(_auc(dis, 0.1, 1e-5))
+
+    auc_ref = add_auc(out_ref)
+    AUC_REL_GATE = 0.005  # the BASELINE.json parity envelope
+
     dt_bf16 = time_forward(bf16, variables, reg, root, k, K)
     results["bf16"] = {"ips": BATCH / dt_bf16, "ok": True, "deltas": {}}
 
@@ -232,8 +262,17 @@ def main():
             if trained:
                 for key, gate in TRAINED_GATES.items():
                     ok = ok and deltas[key] < gate
+            auc_q = add_auc(out_q)
+            auc_rel = None
+            if auc_ref and auc_q is not None:
+                auc_rel = abs(auc_q - auc_ref) / auc_ref
+                if trained:
+                    ok = ok and auc_rel < AUC_REL_GATE
             dt = time_forward(model, v8, reg, root, k, K)
-            results[qmode] = {"ips": BATCH / dt, "ok": bool(ok), "deltas": deltas}
+            results[qmode] = {
+                "ips": BATCH / dt, "ok": bool(ok), "deltas": deltas,
+                "auc_add": auc_q, "auc_rel_delta": auc_rel,
+            }
         except Exception as e:  # noqa: BLE001 — report, don't die
             print(f"# {qmode} failed: {type(e).__name__}: {e}", flush=True)
             results[qmode] = {"ips": 0.0, "ok": False, "deltas": {}}
@@ -259,6 +298,10 @@ def main():
                 "int8f_deltas": results.get("int8f", {}).get("deltas", {}),
                 "int8_fidelity_ok": bool(results.get("int8", {}).get("ok", False)),
                 "int8f_fidelity_ok": bool(results.get("int8f", {}).get("ok", False)),
+                "bf16_auc_add": auc_ref,
+                "int8_auc_add": results.get("int8", {}).get("auc_add"),
+                "int8_auc_rel_delta": results.get("int8", {}).get("auc_rel_delta"),
+                "int8f_auc_rel_delta": results.get("int8f", {}).get("auc_rel_delta"),
                 "trained_weights": trained,
                 "real_calibration": real is not None,
             }

@@ -487,6 +487,20 @@ class DreamDataset:
         sample_extra = (
             {"images_original": rgb.astype(np.uint8)} if self.include_original else {}
         )
+        if self.include_original:
+            # GT silhouette sidecar ({stem}.mask.png, written by
+            # make_synth_dataset --save-masks): the frozen-seg stand-in for
+            # sim2real on synthetic pseudo-real sets (VERDICT r4 #5) — the
+            # reference's CtRNet masks come from a pretrained .pth that
+            # does not exist for generated robots
+            mp = Path(frame["rgb_path"])
+            mp = mp.with_name(mp.name.split(".")[0] + ".mask.png")
+            if mp.exists():
+                from PIL import Image as _Image
+
+                sample_extra["mask_original"] = (
+                    np.asarray(_Image.open(mp), np.uint8) > 127
+                ).astype(np.uint8)
         return {
             **sample_extra,
             "image_id": np.int32(idx),
@@ -516,6 +530,8 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
         if "images_original" in samples[0]
         else {}
     )
+    if "mask_original" in samples[0]:
+        extra["mask_original"] = stack("mask_original")
     return {
         **extra,
         "TCO": stack("TCO"),

@@ -385,7 +385,20 @@ class Sim2RealTrainer:
             for batch in loader:
                 batch, n_real = _pad_batch(batch, cfg.batch_size)
                 images_orig = batch.pop("images_original")
-                seg_masks = self.seg(jnp.asarray(images_orig, jnp.float32) / 255.0)
+                if "mask_original" in batch:
+                    # GT silhouette sidecars (generated pseudo-real sets):
+                    # the frozen-seg stand-in — downscale to the render
+                    # grid exactly like SegMaskInference's output scale
+                    gt_m = jnp.asarray(batch.pop("mask_original"), jnp.float32)
+                    seg_masks = jax.image.resize(
+                        gt_m,
+                        (gt_m.shape[0], *render_hw),
+                        method="bilinear",
+                    )
+                else:
+                    seg_masks = self.seg(
+                        jnp.asarray(images_orig, jnp.float32) / 255.0
+                    )
                 batch = shard_batch(mesh, batch)
                 rng, sub = jax.random.split(rng)
                 state, loss_dict = step(state, batch, seg_masks, sub)

@@ -427,9 +427,17 @@ def _run_device(args):
         )
         light = rng.randn(nb, 3)
         light[:, 2] = np.abs(light[:, 2]) + 0.5
-        amb = rng.uniform(0.25, 0.5, nb)
-        dif = rng.uniform(0.5, 0.75, nb)
-        body = 0.25 + 0.6 * rng.rand(nb, 3)
+        if args.style == "real":
+            # pseudo-REAL visual domain (sim2real target): flatter indoor
+            # lighting, dark narrow-band body color, heavier sensor noise,
+            # photo-like gradient backgrounds (no DR confetti)
+            amb = rng.uniform(0.45, 0.62, nb)
+            dif = rng.uniform(0.3, 0.5, nb)
+            body = 0.12 + 0.22 * rng.rand(nb, 3)
+        else:
+            amb = rng.uniform(0.25, 0.5, nb)
+            dif = rng.uniform(0.5, 0.75, nb)
+            body = 0.25 + 0.6 * rng.rand(nb, 3)
         if nb < B:  # keep the jit cache to one (B,...) signature
             pad = B - nb
             verts = jnp.concatenate([verts, verts[-1:].repeat(pad, 0)])
@@ -451,15 +459,31 @@ def _run_device(args):
             mask = (
                 (rgba[k, ..., 3] > 0).repeat(scale, axis=0).repeat(scale, axis=1)
             )
-            bg = _background(frng)
+            if args.style == "real":
+                c0, c1 = _u(frng, (3,)) * 160, _u(frng, (3,)) * 160
+                g = np.linspace(0, 1, W, dtype=np.float32)[None, :, None]
+                if _u(frng) < 0.5:
+                    g = np.linspace(0, 1, H, dtype=np.float32)[:, None, None]
+                bg = np.broadcast_to(
+                    (c0 + (c1 - c0) * g).astype(np.float32), (H, W, 3)
+                ).copy()
+            else:
+                bg = _background(frng)
             out = np.where(mask[..., None], img.astype(np.float32), bg)
             out = np.clip(
                 out
                 + frng.standard_normal((H, W, 3), dtype=np.float32)
-                * frng.uniform(0, 6),
+                * (frng.uniform(4, 10) if args.style == "real"
+                   else frng.uniform(0, 6)),
                 0,
                 255,
             ).astype(np.uint8)
+            if args.save_masks:
+                from PIL import Image as _Image
+
+                _Image.fromarray(mask.astype(np.uint8) * 255).save(
+                    os.path.join(args.out, f"{i0 + k:06d}.mask.png")
+                )
             if args.dialect == "json":
                 _write_frame_json(
                     args.out, i0 + k, out, q[k], R[k], t[k], kp_cam[k],
@@ -487,6 +511,12 @@ def main():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--device", choices=["host", "tpu"], default="host",
                    help="tpu: batched on-device rendering (1 process)")
+    p.add_argument("--style", choices=["dr", "real"], default="dr",
+                   help="real: pseudo-real visual domain for sim2real "
+                        "(device path)")
+    p.add_argument("--save-masks", action="store_true",
+                   help="also write {i}.mask.png GT silhouettes (device "
+                        "path; sim2real frozen-seg stand-in)")
     p.add_argument("--dialect", choices=["pickle", "json"], default="pickle",
                    help="annotation dialect (json = original DREAM schema; "
                         "device path only)")
