@@ -320,7 +320,8 @@ def _write_frame(out_dir, i, img, q, R_root, kp_cam, kp2d, link_names,
         pickle.dump(ann, f)
 
 
-def _write_frame_json(out_dir, i, img, q, R, t, kp_cam, kp2d, robot_name):
+def _write_frame_json(out_dir, i, img, q, R, t, kp_cam, kp2d, robot_name,
+                      unit=1.0):
     """Write one DREAM-JSON-dialect frame: {i}.rgb.jpg + {i}.json with the
     original DREAM schema (objects[0].location/quaternion_xyzw/keypoints +
     sim_state.joints; ref README.md:38-67, dream.py:176-229). TCO here is
@@ -341,13 +342,13 @@ def _write_frame_json(out_dir, i, img, q, R, t, kp_cam, kp2d, robot_name):
     ann = {
         "objects": [
             {
-                "location": [float(v) for v in t],
+                "location": [float(v * unit) for v in t],
                 "quaternion_xyzw": [float(qw[1]), float(qw[2]),
                                     float(qw[3]), float(qw[0])],
                 "keypoints": [
                     {
                         "name": inv_names[k],
-                        "location": [float(v) for v in kp_cam[k]],
+                        "location": [float(v * unit) for v in kp_cam[k]],
                         "projected_location": [float(v) for v in kp2d[k]],
                     }
                     for k in range(kp_cam.shape[0])
@@ -485,9 +486,13 @@ def _run_device(args):
                     os.path.join(args.out, f"{i0 + k:06d}.mask.png")
                 )
             if args.dialect == "json":
+                # DREAM synthetic layout stores annotations in CENTIMETRES
+                # (ref dream.py:109; loader scale=0.01 keyed off the
+                # 'synthetic' path component)
+                unit = 100.0 if "synthetic" in str(args.out) else 1.0
                 _write_frame_json(
                     args.out, i0 + k, out, q[k], R[k], t[k], kp_cam[k],
-                    kp2d[k], args.robot,
+                    kp2d[k], args.robot, unit=unit,
                 )
             else:
                 _write_frame(

@@ -20,8 +20,12 @@ def main():
     parser = argparse.ArgumentParser("Training")
     parser.add_argument("--config", "-c", type=str, required=True)
     parser.add_argument("--epochs", type=int, default=None, help="override n_epochs")
+    parser.add_argument("--epoch-size", type=int, default=None,
+                        help="override epoch_size (smoke runs)")
     args = parser.parse_args()
     cfg = load_config(args.config)
+    if args.epoch_size:
+        cfg.epoch_size = args.epoch_size
 
     print("----------------- config -----------------")
     for k, v in vars(cfg).items():
