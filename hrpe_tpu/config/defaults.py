@@ -155,6 +155,11 @@ class Config:
     # resume
     resume_run: bool = False
     resume_experiment_name: str = "resume_name"
+    # warm start: orbax checkpoint dir (slim or full layout) whose
+    # params/batch_stats seed the run — cross-experiment fine-tuning
+    # (e.g. continue a converged run on a larger regenerated dataset).
+    # Unlike resume_run this starts at epoch 0 with a fresh optimizer.
+    warm_start: Optional[str] = None
     distributed: bool = False
 
     # TPU-specific additions (absent in reference)

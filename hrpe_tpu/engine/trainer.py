@@ -257,6 +257,21 @@ class Trainer:
                 f"pretrained rootnet not found at {cfg.pretrained_rootnet}; "
                 "training depth head from scratch"
             )
+
+        # cross-experiment warm start (cfg.warm_start): seed params +
+        # batch_stats from a previous run's best checkpoint (slim or full
+        # layout) but keep a FRESH optimizer and epoch counter — the
+        # continue-on-more-data recipe. Applied last so it wins over the
+        # pretrained-rootnet chaining above.
+        if getattr(cfg, "warm_start", None):
+            if os.path.isdir(cfg.warm_start):
+                from .checkpoints import restore_state
+
+                state = restore_state(cfg.warm_start, state)
+                state = state.replace(step=jnp.zeros_like(state.step))
+                print(f"warm start from {cfg.warm_start}")
+            else:
+                print(f"warm_start checkpoint not found: {cfg.warm_start}")
         return state
 
     # ------------------------------------------------------------------

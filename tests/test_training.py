@@ -195,3 +195,35 @@ def test_set_learning_rate():
     )
     state = set_learning_rate(state, 5e-4)
     assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(5e-4)
+
+
+def test_warm_start_seeds_params_fresh_optimizer(tmp_path):
+    """cfg.warm_start loads a previous run's slim best checkpoint into a
+    NEW experiment's initial state (params + batch_stats) while keeping a
+    fresh optimizer and step=0 (trainer.py init_state warm-start hook)."""
+    from hrpe_tpu.engine.checkpoints import CheckpointManager
+    from hrpe_tpu.engine.trainer import Trainer
+
+    cfg = small_cfg()
+    cfg.use_rootnet_with_reg_int_shared_backbone = True
+    cfg.train_ds_names = "dofbot_synth_train_dr"
+    tr = Trainer(cfg, "full")
+    donor = tr.init_state()
+    # perturb so the donor is distinguishable from a fresh init
+    donor = donor.replace(
+        params=jax.tree.map(lambda p: p + 1.0, donor.params),
+        step=jnp.asarray(777, jnp.int32),
+    )
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save_if_best("dr", donor, epoch=5, score=1.0, prev_best=-np.inf)
+
+    cfg2 = small_cfg()
+    cfg2.use_rootnet_with_reg_int_shared_backbone = True
+    cfg2.train_ds_names = "dofbot_synth_train_dr"
+    cfg2.warm_start = str(tmp_path / "ckpt" / "best_dr")
+    state = Trainer(cfg2, "full").init_state()
+
+    got = jax.tree.leaves(state.params)[0]
+    want = jax.tree.leaves(jax.device_get(donor.params))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    assert int(state.step) == 0  # fresh epoch counter, fresh optimizer
