@@ -242,8 +242,14 @@ class Sim2RealTrainer:
         )
         ckpt = CheckpointManager(ckpt_dir)
 
+        # dataset names resolve under cfg.data_dir like the supervised
+        # pipelines (trainer.get_dataloaders); absolute/explicit paths
+        # (tests, fixtures) pass through untouched
+        ds_path = cfg.train_ds_names
+        if not os.path.exists(ds_path):
+            ds_path = os.path.join(cfg.data_dir, ds_path)
         ds = DreamDataset(
-            cfg.train_ds_names, color_jitter=False, rgb_augmentation=False,
+            ds_path, color_jitter=False, rgb_augmentation=False,
             occlusion_augmentation=False, robot=cfg.urdf_robot_name,
             include_original=True,
         )
@@ -287,7 +293,7 @@ class Sim2RealTrainer:
             n_eval = max(1, n // 10)
             train_sampler = ListSampler(list(range(n - n_eval)))
             eval_ds = DreamDataset(
-                cfg.train_ds_names, color_jitter=False, rgb_augmentation=False,
+                ds_path, color_jitter=False, rgb_augmentation=False,
                 occlusion_augmentation=False, robot=cfg.urdf_robot_name,
             )
             eval_loaders["heldout"] = DataLoader(
